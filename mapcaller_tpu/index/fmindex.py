@@ -1,0 +1,209 @@
+"""FM-index artifact: build, save, load, and host-side (NumPy) queries.
+
+TPU-first re-design of the reference's bwt_t (ref: src/structure.h:32-42).
+Instead of bwa's interleaved Occ-checkpoint/BWT words we keep flat
+arrays — friendlier to XLA gathers:
+
+  bwt_words : uint32[ceil(n/16)]   packed BWT (16 bases/word, base k at
+                                   bits (15-k%16)*2..+1, bwa bit order)
+  ckpt      : int64[ceil(n/128)+1, 4]  Occ counts at every 128-base block
+                                   boundary (over the $-removed BWT)
+  sa_samp   : int64[(n+32)//32]    SA sampled every 32 full rows;
+                                   sa_samp[0] = -1 (bwa convention,
+                                   ref: src/bwt_index.cpp:32)
+  L2        : int64[5]             cumulative base counts
+  primary   : int                  full row of the suffix at position 0
+
+Text = forward genome + reverse complement (ref: bntseq.c:183-190), so a
+hit position >= GenomeSize means reverse strand.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .packer import PackedReference, pack_fasta
+from .suffix import build_suffix_array, bwt_from_sa
+
+OCC_INTERVAL = 128
+SA_INTERVAL = 32
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class FMIndex:
+    primary: int
+    L2: np.ndarray              # int64[5]
+    bwt_words: np.ndarray       # uint32[ceil(n/16)]
+    ckpt: np.ndarray            # int64[n_blocks+1, 4]
+    sa_samp: np.ndarray         # int64[(n+SA)//SA]
+    seq_len: int                # n = 2 * genome_size
+    ref: PackedReference        # forward-genome codes + chrom metadata
+
+    # ---- metadata helpers ----------------------------------------------
+    @property
+    def genome_size(self) -> int:
+        return self.ref.genome_size
+
+    @property
+    def two_genome_size(self) -> int:
+        return self.seq_len
+
+    # ---- host-side queries (NumPy oracle; mirrors src/bwt_search.cpp) --
+    def bwt_code(self, k_adj: int) -> int:
+        """BWT base at $-removed index k_adj (ref: bwt_search.cpp:13-14)."""
+        w = int(self.bwt_words[k_adj >> 4])
+        return (w >> ((~k_adj & 0xF) << 1)) & 3
+
+    def occ(self, k: int, c: int) -> int:
+        """# of base c in BWT full rows [0, k]  (ref: bwt_search.cpp:25-47)."""
+        if k == self.seq_len:
+            return int(self.L2[c + 1] - self.L2[c])
+        if k < 0:
+            return 0
+        k -= k >= self.primary
+        n = int(self.ckpt[k >> 7, c])
+        start_w = (k >> 7) << 3          # 8 words per 128-base block
+        end_w = k >> 4
+        for w in range(start_w, end_w):
+            n += _count_code_in_word(int(self.bwt_words[w]), c, 16)
+        n += _count_code_in_word(int(self.bwt_words[end_w]), c, (k & 0xF) + 1)
+        return n
+
+    def occ4(self, k: int) -> np.ndarray:
+        """Occ counts of all 4 bases up to full row k (ref: bwt_search.cpp:49-66)."""
+        if k < 0:
+            return np.zeros(4, dtype=np.int64)
+        k -= k >= self.primary
+        cnt = self.ckpt[k >> 7].copy()
+        start_w = (k >> 7) << 3
+        end_w = k >> 4
+        for w in range(start_w, end_w):
+            cnt += _count4_in_word(int(self.bwt_words[w]), 16)
+        cnt += _count4_in_word(int(self.bwt_words[end_w]), (k & 0xF) + 1)
+        return cnt
+
+    def inv_psi(self, k: int) -> int:
+        """LF step (ref: bwt_search.cpp:101-107)."""
+        x = k - (k > self.primary)
+        c = self.bwt_code(x)
+        x = int(self.L2[c]) + self.occ(k, c)
+        return 0 if k == self.primary else x
+
+    def sa_lookup(self, k: int) -> int:
+        """Text position of full row k (ref: bwt_search.cpp:109-119)."""
+        sa = 0
+        mask = SA_INTERVAL - 1
+        while k & mask:
+            sa += 1
+            k = self.inv_psi(k)
+        return sa + int(self.sa_samp[k // SA_INTERVAL])
+
+    # ---- persistence ---------------------------------------------------
+    def save(self, prefix: str) -> None:
+        np.savez(prefix + ".mci.npz",
+                 primary=np.int64(self.primary),
+                 L2=self.L2,
+                 bwt_words=self.bwt_words,
+                 ckpt=self.ckpt,
+                 sa_samp=self.sa_samp,
+                 seq_len=np.int64(self.seq_len),
+                 codes=self.ref.codes,
+                 chrom_lengths=np.asarray(self.ref.lengths, dtype=np.int64),
+                 chrom_offsets=np.asarray(self.ref.offsets, dtype=np.int64))
+        meta = {
+            "version": FORMAT_VERSION,
+            "names": self.ref.names,
+            "holes": [[h.offset, h.length, h.amb] for h in self.ref.holes],
+        }
+        with open(prefix + ".mci.json", "w") as f:
+            json.dump(meta, f)
+
+
+def _count_code_in_word(word: int, c: int, nbases: int) -> int:
+    """# of 2-bit crumbs equal to c among the first `nbases` (big-end first)."""
+    n = 0
+    for i in range(nbases):
+        if (word >> ((15 - i) << 1)) & 3 == c:
+            n += 1
+    return n
+
+
+def _count4_in_word(word: int, nbases: int) -> np.ndarray:
+    out = np.zeros(4, dtype=np.int64)
+    for i in range(nbases):
+        out[(word >> ((15 - i) << 1)) & 3] += 1
+    return out
+
+
+def pack_words(codes: np.ndarray) -> np.ndarray:
+    """Pack 2-bit codes into uint32 words, 16/word, bwa bit order."""
+    n = int(codes.size)
+    padded = np.zeros((n + 15) // 16 * 16, dtype=np.uint32)
+    padded[:n] = codes
+    crumbs = padded.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) << 1
+    return (crumbs << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+def build_index(fasta_path: str, prefix: Optional[str] = None,
+                packed: Optional[PackedReference] = None) -> FMIndex:
+    """Full offline build (ref: src/BWT_Index/bwtindex.c:77-148 flow)."""
+    ref = packed if packed is not None else pack_fasta(fasta_path)
+    text = ref.fwd_rc_codes()
+    n = int(text.size)
+    sa = build_suffix_array(text)
+    bwt, primary = bwt_from_sa(text, sa)
+
+    counts = np.bincount(text, minlength=4)[:4]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+
+    bwt_words = pack_words(bwt)
+
+    # Occ checkpoints every 128 entries of the $-removed BWT.
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    onehot = np.zeros((n, 4), dtype=np.int64)
+    onehot[np.arange(n), bwt] = 1
+    cum = np.cumsum(onehot, axis=0)
+    ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+    for b in range(1, n_blocks + 1):
+        ckpt[b] = cum[min(b * OCC_INTERVAL, n) - 1]
+
+    # SA sampled every 32 full rows; full SA = [n] + sa.
+    n_sa = (n + SA_INTERVAL) // SA_INTERVAL
+    sa_samp = np.empty(n_sa, dtype=np.int64)
+    sa_samp[0] = -1
+    rows = np.arange(1, n_sa) * SA_INTERVAL
+    sa_samp[1:] = sa[rows - 1]  # full row r -> sa[r-1]
+
+    idx = FMIndex(primary=primary, L2=L2, bwt_words=bwt_words, ckpt=ckpt,
+                  sa_samp=sa_samp, seq_len=n, ref=ref)
+    if prefix:
+        idx.save(prefix)
+    return idx
+
+
+def load_index(prefix: str) -> FMIndex:
+    from .packer import Hole
+    dat = np.load(prefix + ".mci.npz")
+    with open(prefix + ".mci.json") as f:
+        meta = json.load(f)
+    ref = PackedReference(
+        names=list(meta["names"]),
+        lengths=[int(x) for x in dat["chrom_lengths"]],
+        offsets=[int(x) for x in dat["chrom_offsets"]],
+        codes=dat["codes"],
+        holes=[Hole(int(o), int(l), a) for o, l, a in meta["holes"]],
+    )
+    return FMIndex(primary=int(dat["primary"]), L2=dat["L2"],
+                   bwt_words=dat["bwt_words"], ckpt=dat["ckpt"],
+                   sa_samp=dat["sa_samp"], seq_len=int(dat["seq_len"]), ref=ref)
+
+
+def index_exists(prefix: str) -> bool:
+    return os.path.exists(prefix + ".mci.npz") and os.path.exists(prefix + ".mci.json")

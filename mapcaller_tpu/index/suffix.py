@@ -1,0 +1,71 @@
+"""Suffix array construction (host side, offline).
+
+The reference uses BWT-SW incremental construction
+(ref: src/BWT_Index/bwt_gen.c:1601) to avoid holding the suffix array
+in RAM. We instead build the full suffix array with a NumPy
+prefix-doubling sort — O(n log n) lexsorts, simple and fast enough for
+bacterial-scale genomes — and derive the BWT from it. (A C++ SA-IS
+builder can be slotted in later for human-scale genomes.)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of `text` (uint8 codes) under the convention that the
+    string is terminated by a unique smallest sentinel ('$').
+
+    Returns SA over positions 0..n-1 (the sentinel row is NOT included;
+    prepend n for the full SA with the '$' suffix as row 0).
+    """
+    n = int(text.size)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    rank = text.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        ranks_sorted = np.cumsum(changed)
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = ranks_sorted
+        rank = new_rank
+        if ranks_sorted[-1] == n - 1:
+            return order.astype(np.int64)
+        k <<= 1
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray):
+    """Derive (bwt_codes_without_dollar, primary) from text + SA.
+
+    Full-row convention (matches bwa, ref: src/bwt_index.cpp:105-124 load
+    path): full rows 0..n where row 0 is the '$' suffix; the BWT char of
+    the row whose suffix starts at position 0 is '$' itself — that row
+    index (1 + rank of suffix 0) is `primary` and is omitted from the
+    stored BWT so the array has exactly n entries.
+    """
+    n = int(text.size)
+    primary = 1 + int(np.nonzero(sa == 0)[0][0])
+    # BWT over full rows 1..n is text[sa-1] (sa>0) with '$' at the primary row.
+    prev = sa - 1
+    bwt_rows = text[prev]          # invalid at the primary-1 slot (sa==0)
+    keep = sa != 0
+    out = np.empty(n, dtype=np.uint8)
+    # full row r (1..n) maps to array index r-1 if r < primary else r-1 stays…
+    # simpler: array = [bwt of rows 0..n] minus the primary row; row 0 ('$'
+    # row) has BWT char text[n-1].
+    full = np.empty(n + 1, dtype=np.uint8)
+    full[0] = text[n - 1]
+    full[1:][keep] = bwt_rows[keep]
+    full[primary] = 0  # placeholder, removed below
+    out = np.delete(full, primary)
+    return out, primary
