@@ -1,0 +1,172 @@
+"""Evidence accumulation (ref: src/AlignmentProfile.cpp).
+
+Host-side representation of the per-base position-frequency matrix and
+the indel / breakpoint event tables. The PFM is a struct-of-arrays
+(NumPy planes) instead of the reference's 16-byte bitfield records
+(ref: structure.h:152-163) — the same layout the device kernels use.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..genome import Genome
+from .chaining import AlnCan
+from .read import ReadState
+
+MIN_BREAKPOINT_SIZE = 20   # ref: AlignmentProfile.cpp:4
+MAX_ALLELE_COUNT = 4095    # ref: structure.h:25
+
+_BASE_PLANE = {"A": 0, "C": 1, "G": 2, "T": 3}
+_COMP_PLANE = {"A": 3, "C": 2, "G": 1, "T": 0}
+
+
+class Profile:
+    def __init__(self, genome_size: int):
+        self.n = genome_size
+        # acgt[4, L] — A/C/G/T counts; saturating at MAX_ALLELE_COUNT
+        self.acgt = np.zeros((4, genome_size), dtype=np.int32)
+        self.multi_hit = np.zeros(genome_size, dtype=np.int32)
+        self.read_count = np.zeros(genome_size, dtype=np.int32)
+        # pair-orientation counters (uint16 in the reference)
+        self.F1 = np.zeros(genome_size, dtype=np.int32)
+        self.R2 = np.zeros(genome_size, dtype=np.int32)
+        self.F2 = np.zeros(genome_size, dtype=np.int32)
+        self.R1 = np.zeros(genome_size, dtype=np.int32)
+        self.break_point: Dict[int, int] = {}
+        self.insert_map: Dict[int, Dict[str, int]] = {}
+        self.delete_map: Dict[int, Dict[str, int]] = {}
+
+    # -- helpers ---------------------------------------------------------
+    def column_size(self, g_pos: int) -> int:
+        """(ref: tools.cpp:166-169)"""
+        return int(self.acgt[:, g_pos].sum())
+
+    def _bump_base(self, g_pos: int, plane: int) -> None:
+        if 0 <= g_pos < self.n and self.acgt[plane, g_pos] < MAX_ALLELE_COUNT:
+            self.acgt[plane, g_pos] += 1
+
+    def _bump_bp(self, g_pos: int) -> None:
+        self.break_point[g_pos] = self.break_point.get(g_pos, 0) + 1
+
+    def _bump_ind(self, table: Dict[int, Dict[str, int]], g_pos: int, seq: str) -> None:
+        inner = table.setdefault(g_pos, {})
+        inner[seq] = inner.get(seq, 0) + 1
+
+    # -- UpdateProfile (ref: AlignmentProfile.cpp:41-242) ----------------
+    def update_profile(self, genome: Genome, b_first_read: bool,
+                       read: ReadState, cans: List[AlnCan],
+                       max_duplicate: int, max_clip_size: int) -> None:
+        L = genome.genome_size
+        two_l = genome.two_genome_size
+        for can in cans:
+            if can.score == 0:
+                continue
+            frags = can.frags
+            first, last = frags[0], frags[-1]
+            if first.rLen == 0 and first.gLen == 0:
+                if first.rPos > MIN_BREAKPOINT_SIZE:
+                    g = first.gPos
+                    self._bump_bp(g if g < L else two_l - 1 - g)
+                if first.rPos > max_clip_size:
+                    continue
+            if last.rLen == 0 and last.gLen == 0:
+                if (read.rlen - last.rPos) > MIN_BREAKPOINT_SIZE:
+                    g = last.gPos
+                    self._bump_bp(g if g < L else two_l - 1 - g)
+                if (read.rlen - last.rPos) > max_clip_size:
+                    continue
+            if can.orientation:
+                g_start = first.gPos
+            else:
+                g_start = two_l - (first.gPos + first.gLen)
+            if self.read_count[g_start] < max_duplicate:
+                self.read_count[g_start] += 1
+            else:
+                continue
+
+            span = np.arange(g_start, min(g_start + read.rlen, L))
+            if b_first_read:
+                tgt = self.F1 if can.orientation else self.R1
+            else:
+                tgt = self.R2 if can.orientation else self.F2
+            tgt[span] += 1
+
+            if can.orientation:
+                for fp in frags:
+                    r_pos, g_pos = fp.rPos, fp.gPos
+                    if fp.bSimple:
+                        for j in range(fp.rLen):
+                            b = read.seq[r_pos + j]
+                            if b in _BASE_PLANE:
+                                self._bump_base(g_pos + j, _BASE_PLANE[b])
+                    elif fp.gLen == 0:  # ins
+                        self._bump_ind(self.insert_map, g_pos - 1, fp.aln1)
+                    elif fp.rLen == 0:  # del
+                        self._bump_ind(self.delete_map, g_pos - 1, fp.aln2)
+                    else:
+                        self._walk_aln(fp.aln1, fp.aln2, g_pos, comp=False)
+            else:
+                for fp in frags:
+                    if fp.bSimple:
+                        r_pos = fp.rPos
+                        g_pos = two_l - 1 - fp.gPos
+                        for j in range(fp.rLen):
+                            b = read.seq[r_pos + j]
+                            if b in _COMP_PLANE:
+                                self._bump_base(g_pos - j, _COMP_PLANE[b])
+                    elif fp.gLen == 0:  # ins
+                        g_pos = two_l - fp.gPos
+                        self._bump_ind(self.insert_map, g_pos - 1, fp.aln1)
+                    elif fp.rLen == 0:  # del
+                        g_pos = two_l - fp.gPos - fp.gLen
+                        self._bump_ind(self.delete_map, g_pos - 1, fp.aln2)
+                    else:
+                        g_pos = two_l - (fp.gPos + fp.gLen)
+                        self._walk_aln(fp.aln1, fp.aln2, g_pos, comp=False)
+
+    def _walk_aln(self, aln1: str, aln2: str, g_pos: int, comp: bool) -> None:
+        """Walk a '-'-padded alignment pair accumulating bases/indels.
+        Reverse-strand blocks were already complemented by
+        ProcessNormalPair, so bases are counted as-is
+        (ref: AlignmentProfile.cpp:133-167, 202-238)."""
+        j = 0
+        n = len(aln1)
+        while j < n:
+            if aln2[j] == "-":  # ins
+                e = j + 1
+                while e < n and aln2[e] == "-":
+                    e += 1
+                self._bump_ind(self.insert_map, g_pos - 1, aln1[j:e])
+                j = e
+            elif aln1[j] == "-":  # del
+                e = j + 1
+                while e < n and aln1[e] == "-":
+                    e += 1
+                self._bump_ind(self.delete_map, g_pos - 1, aln2[j:e])
+                g_pos += e - j
+                j = e
+            else:
+                b = aln1[j]
+                if b in _BASE_PLANE:
+                    self._bump_base(g_pos, _BASE_PLANE[b])
+                j += 1
+                g_pos += 1
+
+    # -- UpdateMultiHitCount (ref: AlignmentProfile.cpp:244-271) ---------
+    def update_multi_hit(self, genome: Genome, cans: List[AlnCan]) -> None:
+        two_l = genome.two_genome_size
+        for can in cans:
+            if can.score > 0:
+                if can.orientation:
+                    g = can.frags[0].gPos
+                    g_end = can.frags[-1].gPos + can.frags[-1].gLen
+                else:
+                    g = two_l - (can.frags[0].gPos + can.frags[0].gLen)
+                    g_end = two_l - can.frags[-1].gPos
+                g = max(g, 0)
+                g_end = min(g_end, self.n)
+                if g_end > g:
+                    seg = self.multi_hit[g:g_end]
+                    np.minimum(seg + 1, MAX_ALLELE_COUNT, out=seg)
