@@ -1,0 +1,380 @@
+"""Variant calling (ref: src/VariantCalling.cpp).
+
+Single pass over the accumulated evidence tables producing SUB / INS /
+DEL / UMR / CNV / gVCF-NOR / monomorphic records, plus breakpoint
+clustering and INV/TNL detection from discordant-pair histograms.
+
+This is the host mirror with the reference's exact thresholds and
+quirks; calling/scan_device.py provides the vectorized genome scan used
+on TPU for the depth/SNV part.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from bisect import bisect_left, bisect_right
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..genome import Genome
+from ..pipeline.profile import Profile
+
+MAX_QSCORE = 30            # ref: VariantCalling.cpp:3
+BLOCK_SIZE = 100           # ref: VariantCalling.cpp:4
+BP_FREQ_THR = 3            # ref: VariantCalling.cpp:5
+INV_TNL_THR_RATIO = 0.5    # ref: VariantCalling.cpp:6
+GENOTYPE_RATIO = 0.50      # ref: VariantCalling.cpp:7
+
+VAR_SUB, VAR_INS, VAR_DEL, VAR_INV, VAR_TNL, VAR_CNV, VAR_UMR = 0, 1, 2, 3, 4, 5, 6
+VAR_NOR, VAR_MON = 10, 11
+
+GENOTYPE_LABEL = ["*", "0", "1", "0/0", "0/1", "1/1", "1/2"]  # cpp:19
+
+
+@dataclasses.dataclass
+class Variant:
+    gPos: int
+    VarType: int
+    DP: int = 0
+    ALTstr: str = ""
+    AD_ref: int = 0
+    AD_alt: int = 0
+    GenoType: int = 0
+    qscore: int = 0
+
+
+def cal_block_read_depth(profile: Profile, genome_size: int) -> np.ndarray:
+    """Mean depth per 100-bp block (ref: VariantCalling.cpp:106-120)."""
+    cov = profile.acgt.sum(axis=0, dtype=np.int64)
+    n_blocks = genome_size // BLOCK_SIZE + (1 if genome_size % BLOCK_SIZE else 0)
+    pad = n_blocks * BLOCK_SIZE - genome_size
+    padded = np.concatenate([cov, np.zeros(pad, dtype=np.int64)])
+    sums = padded.reshape(n_blocks, BLOCK_SIZE).sum(axis=1)
+    out = np.where(sums > 0, sums // BLOCK_SIZE, 0).astype(np.int64)
+    return out
+
+
+def get_area_ind_frequency(g_pos: int, ind_map: Dict[int, Dict[str, int]],
+                           keys: List[int]) -> Tuple[int, str]:
+    """±5 bp dominant-sequence vote (ref: VariantCalling.cpp:64-95).
+    `keys` is the sorted key list of ind_map."""
+    freq = 0
+    max_freq = 0
+    max_pos = 0
+    ind_str = ""
+    lo = bisect_left(keys, g_pos - 5)
+    hi = bisect_right(keys, g_pos + 5)
+    for k in keys[lo:hi]:
+        if abs(k - g_pos) <= 5:
+            for seq in sorted(ind_map[k].keys()):
+                cnt = ind_map[k][seq]
+                freq += cnt
+                if max_freq < cnt:
+                    ind_str = seq
+                    max_freq = cnt
+                    max_pos = k
+                elif max_freq == cnt and len(seq) > len(ind_str):
+                    ind_str = seq
+                    max_pos = k
+    if g_pos == max_pos:
+        return freq, ind_str
+    return 0, ind_str
+
+
+def cal_quality_score(a: int, b: int) -> int:
+    """(ref: VariantCalling.cpp:97-104)"""
+    if a >= b:
+        return MAX_QSCORE
+    qs = int(-100 * math.log10(1.0 - (1.0 * a / b))) & 0xFF
+    if qs > MAX_QSCORE:
+        qs = MAX_QSCORE
+    return qs
+
+
+def determine_genotype(ploidy: int, cov: int, alt_read_count: int, alt_num: int) -> int:
+    """(ref: VariantCalling.cpp:529-548)"""
+    genotype = 0
+    if ploidy == 1:
+        genotype = 1 if alt_read_count < int(cov * GENOTYPE_RATIO) else 2
+    elif ploidy == 2:
+        if alt_num == 0:
+            genotype = 3
+        elif alt_num == 1:
+            genotype = 4 if alt_read_count < int(cov * GENOTYPE_RATIO) else 5
+        elif alt_num == 2:
+            genotype = 6
+    return genotype
+
+
+def identify_variants(cfg: Config, genome: Genome, profile: Profile,
+                      ref_codes: np.ndarray, block_depth: np.ndarray
+                      ) -> List[Variant]:
+    """The genome scan (ref: VariantCalling.cpp:550-680). Kept
+    deliberately single-pass/sequential like the reference (which
+    hard-sets iThreadNum=1, cpp:717) because the gap/dup run-length
+    logic carries state."""
+    out: List[Variant] = []
+    L = genome.genome_size
+    acgt = profile.acgt
+    cov_all = acgt.sum(axis=0, dtype=np.int64)
+    multi = profile.multi_hit
+    ins_keys = sorted(profile.insert_map.keys())
+    del_keys = sorted(profile.delete_map.keys())
+    # positions that can possibly produce records — everything else only
+    # advances the gap/dup run-length counters, handled vectorized below.
+    gap = dup = 0
+    freq_base = 0.01 if cfg.somatic else cfg.frequency_thr
+
+    # candidate mask to keep the python loop sparse
+    interesting = np.zeros(L, dtype=bool)
+    interesting[cov_all > 0] = True
+    for k in ins_keys + del_keys:
+        lo = max(0, k - 5)
+        interesting[lo:min(L, k + 6)] = True
+    if cfg.gvcf or cfg.monomorphic:
+        interesting[:] = True
+
+    g_pos = 0
+    while g_pos < L:
+        if not interesting[g_pos]:
+            # fast path: cov==0 region with no indel evidence in reach —
+            # only the gap/dup run-length counters advance here.
+            rel = np.argmax(interesting[g_pos:])
+            nxt = g_pos + int(rel) if interesting[g_pos:][int(rel)] else L
+            if nxt == g_pos:
+                nxt = g_pos + 1
+            pos = g_pos
+            for is_dup, length in _runs(multi[g_pos:nxt] > 0):
+                if is_dup:
+                    if gap > 0:
+                        if gap >= cfg.min_unmapped_size:
+                            out.append(Variant(pos - gap, VAR_UMR, DP=gap & 0xFFFF))
+                        gap = 0
+                    dup += length
+                else:
+                    if dup > 0:
+                        if dup > cfg.min_cnv_size:
+                            out.append(Variant(pos - dup, VAR_CNV, DP=dup & 0xFFFF))
+                        dup = 0
+                    gap += length
+                pos += length
+            g_pos = nxt
+            continue
+        # scalar mirror of the loop body
+        cov = int(cov_all[g_pos])
+        b_normal = True
+        ref_base = int(ref_codes[g_pos])
+        cov_thr = int(block_depth[g_pos // BLOCK_SIZE]) >> 1
+        if cov_thr < cfg.min_allele_depth:
+            cov_thr = cfg.min_allele_depth
+        if cfg.somatic and cov_thr > cfg.min_allele_depth:
+            cov_thr = cfg.min_allele_depth
+        ins_thr = int(cov_thr * 0.25)
+        if ins_thr < cfg.min_allele_depth:
+            ins_thr = cfg.min_allele_depth
+        del_thr = int(cov_thr * 0.35)
+        if del_thr < cfg.min_allele_depth:
+            del_thr = cfg.min_allele_depth
+        ins_freq, ins_str = get_area_ind_frequency(g_pos, profile.insert_map, ins_keys)
+        del_freq, del_str = get_area_ind_frequency(g_pos, profile.delete_map, del_keys)
+
+        if ins_freq >= ins_thr:
+            v = Variant(g_pos, VAR_INS)
+            v.DP = int(block_depth[g_pos // BLOCK_SIZE])
+            v.AD_alt = ins_freq
+            if v.DP < v.AD_alt:
+                v.DP = v.AD_alt
+            v.ALTstr = ins_str
+            v.AD_ref = v.DP - v.AD_alt
+            v.GenoType = determine_genotype(cfg.ploidy, v.DP, v.AD_alt, 1)
+            v.qscore = (int(100.0 * v.AD_alt / cov) & 0xFF) if cov > 0 else 0
+            b_normal = False
+            out.append(v)
+        if del_freq >= del_thr:
+            v = Variant(g_pos, VAR_DEL)
+            v.DP = int(block_depth[g_pos // BLOCK_SIZE])
+            v.AD_alt = del_freq
+            if v.DP < v.AD_alt:
+                v.DP = v.AD_alt
+            v.ALTstr = del_str
+            v.AD_ref = v.DP - v.AD_alt
+            v.GenoType = determine_genotype(cfg.ploidy, v.DP, v.AD_alt, 1)
+            v.qscore = (int(100.0 * v.AD_alt / cov) & 0xFF) if cov > 0 else 0
+            b_normal = False
+            out.append(v)
+        # SUB
+        if cov >= cov_thr:
+            freq_thr = int(math.ceil(cov * freq_base))
+            if freq_thr < cfg.min_allele_depth:
+                freq_thr = cfg.min_allele_depth
+            vec = []
+            for code, base in enumerate("ACGT"):
+                if ref_base != code and int(acgt[code, g_pos]) >= freq_thr:
+                    vec.append((base, int(acgt[code, g_pos])))
+            ad_ref = int(acgt[ref_base, g_pos]) if ref_base < 4 else 0
+            if len(vec) == 1:
+                gt = determine_genotype(cfg.ploidy, cov, vec[0][1], 1)
+                if gt != 0:
+                    v = Variant(g_pos, VAR_SUB, DP=cov, AD_alt=vec[0][1],
+                                AD_ref=ad_ref, GenoType=gt, ALTstr=vec[0][0])
+                    v.qscore = (int(35.0 * v.AD_alt / (cov * 0.05)) if cfg.somatic
+                                else int(35.0 * v.AD_alt / cov)) & 0xFF
+                    b_normal = False
+                    out.append(v)
+            elif len(vec) == 2 and (vec[0][1] + vec[1][1]) >= int(cov * GENOTYPE_RATIO):
+                ad_alt = vec[0][1] + vec[1][1]
+                gt = determine_genotype(cfg.ploidy, cov, ad_alt, 2)
+                if gt != 0:
+                    v = Variant(g_pos, VAR_SUB, DP=cov, AD_alt=ad_alt,
+                                AD_ref=ad_ref, GenoType=gt,
+                                ALTstr=f"{vec[0][0]},{vec[1][0]}")
+                    v.qscore = (int(35.0 * v.AD_alt / (cov * 0.05)) if cfg.somatic
+                                else int(35.0 * v.AD_alt / cov)) & 0xFF
+                    b_normal = False
+                    out.append(v)
+        # gap / dup run-length state (ref: cpp:632-651)
+        if cov == 0 and int(multi[g_pos]) == 0:
+            b_normal = False
+            gap += 1
+        elif gap > 0:
+            if gap >= cfg.min_unmapped_size:
+                out.append(Variant(g_pos - gap, VAR_UMR, DP=gap & 0xFFFF))
+            gap = 0
+        if cov == 0 and int(multi[g_pos]) > 0:
+            b_normal = False
+            dup += 1
+        elif dup > 0:
+            if dup > cfg.min_cnv_size:
+                out.append(Variant(g_pos - dup, VAR_CNV, DP=dup & 0xFFFF))
+            dup = 0
+        if cfg.gvcf and b_normal and cov > 0:
+            if not out or out[-1].VarType != VAR_NOR:
+                out.append(Variant(g_pos, VAR_NOR, DP=cov, AD_alt=cov))
+            else:
+                if out[-1].AD_alt > cov:
+                    out[-1].AD_alt = cov
+        if cfg.monomorphic and b_normal and cov > 0:
+            v = Variant(g_pos, VAR_MON, DP=cov,
+                        GenoType=determine_genotype(cfg.ploidy, cov, 0, 0))
+            v.AD_ref = int(acgt[ref_base, g_pos]) if ref_base < 4 else 0
+            out.append(v)
+        g_pos += 1
+
+    out.sort(key=lambda v: (v.gPos, v.VarType))
+    return out
+
+
+def _runs(mask: np.ndarray):
+    """Yield (value, run_length) over a boolean array."""
+    if mask.size == 0:
+        return
+    changes = np.nonzero(np.diff(mask))[0] + 1
+    starts = np.concatenate([[0], changes])
+    ends = np.concatenate([changes, [mask.size]])
+    for s, e in zip(starts, ends):
+        yield bool(mask[s]), int(e - s)
+
+
+def remove_consecutive_genomic_variant(variants: List[Variant]) -> List[Variant]:
+    """(ref: VariantCalling.cpp:682-694)"""
+    out: List[Variant] = []
+    for v in variants:
+        if out and out[-1].VarType == VAR_NOR and v.VarType == VAR_NOR:
+            continue
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Breakpoints / INV / TNL (ref: VariantCalling.cpp:173-347)
+# ---------------------------------------------------------------------------
+
+def identify_break_point_candidates(profile: Profile, two_genome_size: int,
+                                    avg_read_length: int) -> List[int]:
+    bp = dict(profile.break_point)
+    bp[two_genome_size] = bp.get(two_genome_size, 0) + 0
+    total_freq = 0
+    p_pos, p_cnt = 0, 0
+    cans: List[int] = []
+    for pos in sorted(bp.keys()):
+        cnt = bp[pos]
+        if pos - p_pos > avg_read_length:
+            if total_freq >= BP_FREQ_THR:
+                cans.append(p_pos)
+            p_pos = pos
+            total_freq = p_cnt = cnt
+        else:
+            total_freq += cnt
+            if p_cnt < cnt:
+                p_pos = pos
+                p_cnt = cnt
+    return cans
+
+
+def cal_region_cov(profile: Profile, genome_size: int, beg: int, end: int) -> int:
+    """(ref: VariantCalling.cpp:207-217)"""
+    if beg < 0:
+        beg = 0
+    if end > genome_size:
+        end = genome_size - 1
+    if end < beg:
+        return 0
+    cov = int(profile.acgt[:, beg:end + 1].sum())
+    return cov // (end - beg + 1)
+
+
+def _window_score(sites: List[Tuple[int, int]], lo: int, hi: int,
+                  two_genome_size: int, upper_lo: bool = False) -> Optional[int]:
+    """Longest run of near-equal dist/1000 values among sites with
+    gPos in the window (ref: VariantCalling.cpp:235-268)."""
+    keys = [s[0] for s in sites]
+    i1 = bisect_right(keys, lo) if upper_lo else bisect_left(keys, lo)
+    i2 = bisect_left(keys, hi)
+    if i1 >= len(sites) or i2 >= len(sites):
+        return None
+    vec = sorted(s[1] // 1000 for s in sites[i1:i2])
+    vec.append(two_genome_size)
+    best = 0
+    score = 1
+    for j in range(1, len(vec)):
+        if vec[j] - vec[j - 1] > 1:
+            if score > best:
+                best = score
+            score = 1
+        else:
+            score += 1
+    return best
+
+
+def identify_sv(profile: Profile, genome: Genome, bp_cans: List[int],
+                sites: List[Tuple[int, int]], var_type: int,
+                block_depth: np.ndarray, fragment_size: int,
+                avg_read_length: int) -> List[Variant]:
+    """Shared body of IdentifyInversions / IdentifyTranslocations
+    (ref: VariantCalling.cpp:219-347; the two functions are
+    structurally identical)."""
+    out: List[Variant] = []
+    L = genome.genome_size
+    for g_pos in bp_cans:
+        l_cov = cal_region_cov(profile, L, g_pos - fragment_size,
+                               g_pos - (avg_read_length >> 1))
+        cov_thr = int(block_depth[int(g_pos // BLOCK_SIZE)]) >> 1
+        l_score = _window_score(sites, g_pos - fragment_size,
+                                g_pos - (avg_read_length >> 1),
+                                genome.two_genome_size)
+        if l_score is None or l_score < cov_thr or l_score < int(l_cov * INV_TNL_THR_RATIO):
+            continue
+        r_cov = cal_region_cov(profile, L, g_pos, g_pos + fragment_size)
+        r_score = _window_score(sites, g_pos, g_pos + fragment_size,
+                                genome.two_genome_size, upper_lo=True)
+        if r_score is None or r_score < cov_thr or r_score < int(r_cov * INV_TNL_THR_RATIO):
+            continue
+        if l_score > 0 and r_score > 0:
+            v = Variant(g_pos, var_type)
+            v.DP = profile.column_size(g_pos)
+            v.AD_alt = max(l_score, r_score)
+            v.qscore = cal_quality_score(v.AD_alt, cov_thr)
+            out.append(v)
+    return out

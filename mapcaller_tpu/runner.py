@@ -1,0 +1,150 @@
+"""Top-level run driver: load index -> Mapping -> VariantCalling
+(ref: src/main.cpp:344-393 orchestration)."""
+from __future__ import annotations
+
+import os
+import random
+import string
+import sys
+import time
+from typing import List, Optional
+
+from .cli import VERSION_STR
+from .config import Config
+from .genome import Genome
+from .index.fmindex import FMIndex, build_index, index_exists, load_index
+from .io.fastq import check_read_format, iter_chunks
+from .io.sam import sam_headers
+from .pipeline.engine import MappingEngine
+from .pipeline.read import ReadState
+
+
+def _log(cfg: Config, msg: str) -> None:
+    with open(cfg.log_file, "a") as f:
+        f.write(msg + "\n")
+    sys.stderr.write(msg + "\n")
+
+
+def run_pipeline(cfg: Config, cmd_line: str) -> int:
+    t_start = time.time()
+    temp_prefix = None
+    if cfg.ref_fasta is not None and cfg.index_prefix is None:
+        temp_prefix = "".join(random.choices(string.ascii_lowercase, k=10))
+        sys.stderr.write("Build index from the reference...\n")
+        build_index(cfg.ref_fasta, temp_prefix)
+        cfg.index_prefix = temp_prefix
+    if cfg.index_prefix is None or not index_exists(cfg.index_prefix):
+        sys.stderr.write("Warning! Please specify a valid reference index!\n")
+        return 1
+    sys.stderr.write("Load the genome index files...\n")
+    idx = load_index(cfg.index_prefix)
+
+    engine = make_engine(idx, cfg)
+    try:
+        run_mapping(engine, cfg, t_start)
+        if cfg.vcf_output:
+            run_calling(engine, cfg, cmd_line)
+    finally:
+        if temp_prefix:
+            for ext in (".mci.npz", ".mci.json"):
+                try:
+                    os.remove(temp_prefix + ext)
+                except OSError:
+                    pass
+    _log(cfg, f"All done! It took {int(time.time() - t_start)} seconds to complete the data analysis.")
+    return 0
+
+
+def make_engine(idx: FMIndex, cfg: Config):
+    backend = None
+    if cfg.backend in ("auto", "device"):
+        try:
+            from .pipeline.device_backend import DeviceBackend
+            backend = DeviceBackend(idx, cfg)
+        except Exception as e:  # pragma: no cover
+            if cfg.backend == "device":
+                raise
+            sys.stderr.write(f"[warn] device backend unavailable ({e}); using host path\n")
+    return MappingEngine(idx, cfg, backend=backend)
+
+
+def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
+    sam_fh = None
+    out_path = cfg.sam_file or cfg.bam_file
+    if out_path:
+        sam_fh = sys.stdout if out_path == "-" else open(out_path, "w")
+        for line in sam_headers(engine.genome, VERSION_STR):
+            sam_fh.write(line + "\n")
+
+    n_lib = len(cfg.read_files1)
+    for lib in range(n_lib):
+        f1 = cfg.read_files1[lib]
+        f2 = cfg.read_files2[lib] if lib < len(cfg.read_files2) else None
+        pair_end = f2 is not None or cfg.pair_interleaved
+        for chunk in iter_chunks(f1, f2):
+            reads = [ReadState(r.header, r.seq, r.qual) for r in chunk]
+            sam_lines = engine.process_chunk(reads, pair_end)
+            if sam_fh:
+                for line in sam_lines:
+                    sam_fh.write(line + "\n")
+            sys.stderr.write(f"\r{engine.stats.total_reads} "
+                             f"{'paired-end' if pair_end else 'singled-end'} reads processed "
+                             f"in {int(time.time() - t_start)} seconds...")
+    sys.stderr.write("\n")
+    if sam_fh and sam_fh is not sys.stdout:
+        sam_fh.close()
+    engine.finalize()
+    st = engine.stats
+    _log(cfg, f"All the {st.total_reads} reads have been processed in "
+              f"{int(time.time() - t_start)} seconds.")
+    if st.total_reads > 0:
+        pct = int(10000 * st.total_mapped / st.total_reads + 0.00005) / 100.0
+        _log(cfg, f"{st.total_mapped:12d} ({pct:6.2f}%) reads are mapped properly.")
+    if st.total_reads > 0 and st.total_paired > 0:
+        pct = int(10000 * (st.total_paired * 2) / st.total_reads + 0.00005) / 100.0
+        _log(cfg, f"{st.total_paired * 2:12d} ({pct:6.2f}%) reads are mapped in pairs.")
+    if cfg.vcf_output:
+        _log(cfg, f"\tEstimated AvgCoverage = {st.avg_cov}")
+        dup_total, dup_n = engine.duplication_rate()
+        if dup_n > 0:
+            _log(cfg, f"\tDuplication rate={100.0 * dup_total / dup_n:4.2f}%")
+    if st.total_reads > 0 and st.total_paired > 0:
+        _log(cfg, f"\tAverage read length = {st.avg_read_length}, Estimated fragment "
+                  f"size = {st.fragment_size}, insert size = {st.avg_dist - st.avg_read_length}")
+
+
+def run_calling(engine: MappingEngine, cfg: Config, cmd_line: str) -> None:
+    from .calling.caller import (VAR_DEL, VAR_INS, VAR_INV, VAR_SUB, VAR_TNL,
+                                 cal_block_read_depth, identify_break_point_candidates,
+                                 identify_sv, identify_variants,
+                                 remove_consecutive_genomic_variant)
+    from .io.vcf import write_meta, write_variants
+    t0 = time.time()
+    genome = engine.genome
+    profile = engine.profile
+    block_depth = cal_block_read_depth(profile, genome.genome_size)
+    _log(cfg, f"Identify all variants (min_alt_allele_depth={cfg.min_allele_depth})...")
+    variants = identify_variants(cfg, genome, profile,
+                                 engine.idx.ref.ref_sequence_codes(), block_depth)
+    if cfg.gvcf:
+        variants = remove_consecutive_genomic_variant(variants)
+
+    bp_cans = identify_break_point_candidates(profile, genome.two_genome_size,
+                                              engine.stats.avg_read_length)
+    st = engine.stats
+    if bp_cans and engine.inv_sites:
+        invs = identify_sv(profile, genome, bp_cans, engine.inv_sites, 3,
+                           block_depth, st.fragment_size, st.avg_read_length)
+        variants = sorted(variants + invs, key=lambda v: (v.gPos, v.VarType))
+    if bp_cans and engine.tnl_sites:
+        tnls = identify_sv(profile, genome, bp_cans, engine.tnl_sites, 4,
+                           block_depth, st.fragment_size, st.avg_read_length)
+        variants = sorted(variants + tnls, key=lambda v: (v.gPos, v.VarType))
+
+    _log(cfg, f"\tWrite all the predicted sample variations to file [{cfg.vcf_file}]...")
+    with open(cfg.vcf_file, "w") as f:
+        write_meta(f, cfg, genome, VERSION_STR, cmd_line)
+        counts = write_variants(f, cfg, genome, profile, engine.ref_chars, variants)
+    _log(cfg, f"\t{counts[VAR_SUB]}(snp); {counts[VAR_INS]}(ins); {counts[VAR_DEL]}(del); "
+              f"{counts[VAR_TNL] >> 1}(trans); {counts[VAR_INV] >> 1}(inversion)")
+    _log(cfg, f"variant calling has been done in {int(time.time() - t0)} seconds.")
