@@ -1,0 +1,168 @@
+"""Batched greedy MEM seeding on device (JAX).
+
+Device equivalent of BWT_Search + IdentifySimplePairs
+(ref: src/bwt_search.cpp:121-164, src/ReadMapping.cpp:125-158): every
+read in the batch advances one state-machine step per iteration of a
+single while_loop — either consuming one base of the current
+bidirectional-interval extension (two batched occ4 lookups) or
+finalizing a seed and skipping ahead. Total iterations are bounded by
+max_len + 2 * max_seeds, so a whole batch seeds in O(read_len) fused
+device steps regardless of batch size.
+
+Suffix-array resolution then compacts all (seed, hit) pairs into a flat
+hit buffer with `jnp.repeat(..., total_repeat_length)` and walks
+inverse-Psi in lockstep (<= 31 masked steps, ref: bwt_search.cpp:109-119).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fm_device import DeviceFMIndex, occ4, sa_resolve
+
+OCC_THR = 50
+MIN_SEED_LEN = 16
+
+
+def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
+                      hits_per_read: int = 8):
+    """Returns jitted fn: (codes uint8[B,L], rlens int32[B]) ->
+    (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, n_hits, overflow)."""
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = batch * hits_per_read
+    L2 = fm.L2
+    primary = fm.primary
+
+    def step(state):
+        (pos, in_ext, start, ext_pos, x0, x1, x2,
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, codes, rlens) = state
+        B = pos.shape[0]
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        stop_pos = rlens - MIN_SEED_LEN
+        done = (~in_ext) & (pos >= stop_pos)
+        active = ~done
+
+        # ---- case A: start new extension or skip ambiguous base
+        cpos = codes[bidx, jnp.minimum(pos, max_len - 1)].astype(jnp.int32)
+        start_new = active & (~in_ext) & (cpos <= 3)
+        skip_amb = active & (~in_ext) & (cpos > 3)
+
+        # ---- case B: extension step
+        cext = codes[bidx, jnp.minimum(ext_pos, max_len - 1)].astype(jnp.int32)
+        ext_active = active & in_ext
+        at_end = ext_active & ((ext_pos >= rlens) | (cext > 3))
+        extending = ext_active & ~at_end
+
+        # two batched occ4 lookups (bwt_2occ4 equivalent)
+        k1 = jnp.where(extending, x1 - 1, 0)
+        k2 = jnp.where(extending, x1 - 1 + x2, 0)
+        tk = occ4(fm, k1)                        # [B,4]
+        tl = occ4(fm, k2)
+        ok_x1 = L2[:4][None, :] + 1 + tk         # [B,4]
+        ok_x2 = tl - tk
+        adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
+        ok3_x0 = x0 + adj
+        ok2_x0 = ok3_x0 + ok_x2[:, 3]
+        ok1_x0 = ok2_x0 + ok_x2[:, 2]
+        ok0_x0 = ok1_x0 + ok_x2[:, 1]
+        ok_x0 = jnp.stack([ok0_x0, ok1_x0, ok2_x0, ok3_x0], axis=-1)
+        ci = jnp.where(extending, 3 - cext, 0)
+        new_x0 = jnp.take_along_axis(ok_x0, ci[:, None], axis=-1)[:, 0]
+        new_x1 = jnp.take_along_axis(ok_x1, ci[:, None], axis=-1)[:, 0]
+        new_x2 = jnp.take_along_axis(ok_x2, ci[:, None], axis=-1)[:, 0]
+        ext_fail = extending & (new_x2 == 0)
+        ext_ok = extending & (new_x2 != 0)
+
+        finalize = at_end | ext_fail
+        slen = ext_pos - start
+        good = finalize & (slen >= MIN_SEED_LEN) & (x2 <= OCC_THR)
+        slot = jnp.minimum(n_seeds, max_seeds - 1)
+        overflow = overflow | (finalize & good & (n_seeds >= max_seeds))
+
+        def put(arr, val):
+            return arr.at[bidx, slot].set(jnp.where(good, val, arr[bidx, slot]))
+
+        s_rpos = put(s_rpos, start)
+        s_len = put(s_len, slen)
+        s_x0 = put(s_x0, x0)
+        s_freq = put(s_freq, x2)
+        n_seeds = jnp.where(good, jnp.minimum(n_seeds + 1, max_seeds), n_seeds)
+
+        # ---- state updates
+        pos = jnp.where(skip_amb, pos + 1,
+              jnp.where(finalize, start + slen + 1, pos))
+        x0 = jnp.where(start_new, L2[cpos & 3] + 1, jnp.where(ext_ok, new_x0, x0))
+        x1 = jnp.where(start_new, L2[(3 - cpos) & 3] + 1, jnp.where(ext_ok, new_x1, x1))
+        x2 = jnp.where(start_new, L2[(cpos & 3) + 1] - L2[cpos & 3],
+                       jnp.where(ext_ok, new_x2, x2))
+        start = jnp.where(start_new, pos, start)
+        ext_pos = jnp.where(start_new, pos + 1, jnp.where(ext_ok, ext_pos + 1, ext_pos))
+        in_ext = jnp.where(start_new, True, jnp.where(finalize, False, in_ext))
+
+        return (pos, in_ext, start, ext_pos, x0, x1, x2,
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, codes, rlens)
+
+    def cond(state):
+        pos, in_ext, *_rest = state
+        rlens = state[-1]
+        return jnp.any(in_ext | (pos < rlens - MIN_SEED_LEN))
+
+    def kernel(codes: jnp.ndarray, rlens: jnp.ndarray):
+        B = batch
+        z = jnp.zeros(B, dtype=jnp.int32)
+        zb = jnp.zeros(B, dtype=bool)
+        zs = jnp.zeros((B, max_seeds), dtype=jnp.int32)
+        state = (z, zb, z, z, z, z, z, z.copy(), zs, zs, zs, zs, zb, codes, rlens)
+        state = jax.lax.while_loop(cond, step, state)
+        (_, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
+         overflow, _, _) = state
+
+        # mask seeds beyond n_seeds
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+
+        total = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs                 # exclusive
+        hit_pos = jnp.arange(H, dtype=jnp.int32)
+        seg_start = jnp.repeat(csum, freqs, total_repeat_length=H)
+        within = hit_pos - seg_start
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hit_pos < jnp.minimum(total, H)
+        buffer_overflow = total > H   # batch-level: hits truncated
+
+        hit_loc = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32), hit_valid)
+        return (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
+                overflow, buffer_overflow)
+
+    return jax.jit(kernel)
+
+
+def seeds_to_frag_pairs(hit_read: np.ndarray, hit_rpos: np.ndarray,
+                        hit_len: np.ndarray, hit_loc: np.ndarray,
+                        hit_valid: np.ndarray, batch: int,
+                        two_genome_size: int) -> List[list]:
+    """Host post-processing: per-read sorted FragPair lists with sentinel
+    (mirrors IdentifySimplePairs ordering, ReadMapping.cpp:152-155)."""
+    from ..pipeline.seeding import FragPair
+    out: List[list] = [[] for _ in range(batch)]
+    v = hit_valid
+    pd = hit_loc.astype(np.int64) - hit_rpos
+    keep = v & (pd > 0)
+    for b, rpos, ln, loc, d in zip(hit_read[keep], hit_rpos[keep],
+                                   hit_len[keep], hit_loc[keep], pd[keep]):
+        out[b].append(FragPair(True, int(rpos), int(loc), int(ln), int(ln), int(d)))
+    for b in range(batch):
+        out[b].sort(key=lambda f: (f.PosDiff, f.rPos))
+        out[b].append(FragPair(True, 0, two_genome_size, 0, 0, two_genome_size))
+    return out
