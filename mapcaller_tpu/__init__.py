@@ -20,3 +20,14 @@ Layer map (mirrors SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_mc") -> None:
+    """Persistent XLA compilation cache — first compiles on the tunneled
+    TPU platform take minutes; cached reloads take seconds."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -43,6 +43,12 @@ class FMIndex:
     sa_samp: np.ndarray         # int64[(n+SA)//SA]
     seq_len: int                # n = 2 * genome_size
     ref: PackedReference        # forward-genome codes + chrom metadata
+    # Full suffix array over rows 1..n (sa_full[r] = text pos of row r;
+    # sa_full[0] = n for the '$' row). Kept when the genome is small
+    # enough (4 B/base) so device SA resolution is a single gather
+    # instead of the unbounded inverse-Psi walk of bwt_sa
+    # (ref: src/BWT_Index/bwt.c:125-136).
+    sa_full: Optional[np.ndarray] = None
 
     # ---- metadata helpers ----------------------------------------------
     @property
@@ -105,6 +111,9 @@ class FMIndex:
 
     # ---- persistence ---------------------------------------------------
     def save(self, prefix: str) -> None:
+        extra = {}
+        if self.sa_full is not None:
+            extra["sa_full"] = self.sa_full
         np.savez(prefix + ".mci.npz",
                  primary=np.int64(self.primary),
                  L2=self.L2,
@@ -114,7 +123,8 @@ class FMIndex:
                  seq_len=np.int64(self.seq_len),
                  codes=self.ref.codes,
                  chrom_lengths=np.asarray(self.ref.lengths, dtype=np.int64),
-                 chrom_offsets=np.asarray(self.ref.offsets, dtype=np.int64))
+                 chrom_offsets=np.asarray(self.ref.offsets, dtype=np.int64),
+                 **extra)
         meta = {
             "version": FORMAT_VERSION,
             "names": self.ref.names,
@@ -181,8 +191,14 @@ def build_index(fasta_path: str, prefix: Optional[str] = None,
     rows = np.arange(1, n_sa) * SA_INTERVAL
     sa_samp[1:] = sa[rows - 1]  # full row r -> sa[r-1]
 
+    sa_full = None
+    if n < 2**31:
+        sa_full = np.empty(n + 1, dtype=np.int32)
+        sa_full[0] = n
+        sa_full[1:] = sa
+
     idx = FMIndex(primary=primary, L2=L2, bwt_words=bwt_words, ckpt=ckpt,
-                  sa_samp=sa_samp, seq_len=n, ref=ref)
+                  sa_samp=sa_samp, seq_len=n, ref=ref, sa_full=sa_full)
     if prefix:
         idx.save(prefix)
     return idx
@@ -202,7 +218,8 @@ def load_index(prefix: str) -> FMIndex:
     )
     return FMIndex(primary=int(dat["primary"]), L2=dat["L2"],
                    bwt_words=dat["bwt_words"], ckpt=dat["ckpt"],
-                   sa_samp=dat["sa_samp"], seq_len=int(dat["seq_len"]), ref=ref)
+                   sa_samp=dat["sa_samp"], seq_len=int(dat["seq_len"]), ref=ref,
+                   sa_full=dat["sa_full"] if "sa_full" in dat.files else None)
 
 
 def index_exists(prefix: str) -> bool:

@@ -56,11 +56,11 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         at_end = ext_active & ((ext_pos >= rlens) | (cext > 3))
         extending = ext_active & ~at_end
 
-        # two batched occ4 lookups (bwt_2occ4 equivalent)
+        # two batched occ4 lookups fused into one (bwt_2occ4 equivalent)
         k1 = jnp.where(extending, x1 - 1, 0)
         k2 = jnp.where(extending, x1 - 1 + x2, 0)
-        tk = occ4(fm, k1)                        # [B,4]
-        tl = occ4(fm, k2)
+        tkl = occ4(fm, jnp.stack([k1, k2]))      # [2,B,4]
+        tk, tl = tkl[0], tkl[1]
         ok_x1 = L2[:4][None, :] + 1 + tk         # [B,4]
         ok_x2 = tl - tk
         adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
@@ -70,9 +70,10 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         ok0_x0 = ok1_x0 + ok_x2[:, 1]
         ok_x0 = jnp.stack([ok0_x0, ok1_x0, ok2_x0, ok3_x0], axis=-1)
         ci = jnp.where(extending, 3 - cext, 0)
-        new_x0 = jnp.take_along_axis(ok_x0, ci[:, None], axis=-1)[:, 0]
-        new_x1 = jnp.take_along_axis(ok_x1, ci[:, None], axis=-1)[:, 0]
-        new_x2 = jnp.take_along_axis(ok_x2, ci[:, None], axis=-1)[:, 0]
+        onehot_c = (jnp.arange(4, dtype=jnp.int32)[None, :] == ci[:, None])
+        new_x0 = jnp.where(onehot_c, ok_x0, 0).sum(axis=-1)
+        new_x1 = jnp.where(onehot_c, ok_x1, 0).sum(axis=-1)
+        new_x2 = jnp.where(onehot_c, ok_x2, 0).sum(axis=-1)
         ext_fail = extending & (new_x2 == 0)
         ext_ok = extending & (new_x2 != 0)
 
@@ -82,8 +83,12 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         slot = jnp.minimum(n_seeds, max_seeds - 1)
         overflow = overflow | (finalize & good & (n_seeds >= max_seeds))
 
+        # one-hot select instead of scatter (TPU scatters are slow)
+        onehot = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :] == slot[:, None]
+                  ) & good[:, None]
+
         def put(arr, val):
-            return arr.at[bidx, slot].set(jnp.where(good, val, arr[bidx, slot]))
+            return jnp.where(onehot, val[:, None], arr)
 
         s_rpos = put(s_rpos, start)
         s_len = put(s_len, slen)
@@ -105,18 +110,17 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         return (pos, in_ext, start, ext_pos, x0, x1, x2,
                 n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, codes, rlens)
 
-    def cond(state):
-        pos, in_ext, *_rest = state
-        rlens = state[-1]
-        return jnp.any(in_ext | (pos < rlens - MIN_SEED_LEN))
-
     def kernel(codes: jnp.ndarray, rlens: jnp.ndarray):
         B = batch
         z = jnp.zeros(B, dtype=jnp.int32)
         zb = jnp.zeros(B, dtype=bool)
         zs = jnp.zeros((B, max_seeds), dtype=jnp.int32)
         state = (z, zb, z, z, z, z, z, z.copy(), zs, zs, zs, zs, zb, codes, rlens)
-        state = jax.lax.while_loop(cond, step, state)
+        # fixed trip count: every iteration advances pos or ext_pos except
+        # seed finalization (bounded by max_seeds) — a data-dependent
+        # while cond would sync with the host each iteration.
+        n_iters = max_len + 2 * max_seeds + 2
+        state = jax.lax.fori_loop(0, n_iters, lambda _, s: step(s), state)
         (_, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
          overflow, _, _) = state
 
@@ -141,7 +145,12 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         hit_valid = hit_pos < jnp.minimum(total, H)
         buffer_overflow = total > H   # batch-level: hits truncated
 
-        hit_loc = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32), hit_valid)
+        hit_loc, resolved = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+        # reads owning an unresolved hit fall back to the host oracle
+        unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
+            (hit_valid & ~resolved).astype(jnp.int32))
+        overflow = overflow | (unresolved_read > 0)
         return (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
                 overflow, buffer_overflow)
 

@@ -63,8 +63,27 @@ class MappingEngine:
         self.backend = backend  # optional device batch runner
 
     # ------------------------------------------------------------------
+    def preseed(self, reads: List[ReadState], pair_end: bool) -> None:
+        """Run device seeding for a super-batch of reads (possibly many
+        chunks). Mate-2 reads are reverse-complemented first, exactly as
+        the per-read path does (ref: ReadMapping.cpp:451)."""
+        if self.backend is None:
+            return
+        if pair_end and len(reads) % 2 == 0:
+            for j in range(1, len(reads), 2):
+                if not reads[j].is_reversed:
+                    reads[j].reverse_orientation()
+                    reads[j].is_reversed = True
+        codes = [r.codes() for r in reads]
+        seeds = self.backend.seed_batch(codes)
+        for r, s in zip(reads, seeds):
+            r.pre_seeds = s
+
     def _map_one(self, read: ReadState) -> None:
-        pairs = identify_simple_pairs(self.idx, read.codes())
+        if read.pre_seeds is not None:
+            pairs = read.pre_seeds
+        else:
+            pairs = identify_simple_pairs(self.idx, read.codes())
         read.cans = simple_pair_clustering(self.genome, read.rlen, pairs,
                                            self.cfg.max_pos_diff)
 
@@ -79,7 +98,9 @@ class MappingEngine:
         for i in range(0, len(reads) - 1, 2):
             r1, r2 = reads[i], reads[i + 1]
             self._map_one(r1)
-            r2.reverse_orientation()
+            if not r2.is_reversed:
+                r2.reverse_orientation()
+                r2.is_reversed = True
             self._map_one(r2)
             reset_paired_idx(r1.cans)
             reset_paired_idx(r2.cans)

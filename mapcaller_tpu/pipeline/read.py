@@ -19,6 +19,8 @@ class ReadState:
     sub_score: int = 0
     best_idx: int = -1
     cans: List[AlnCan] = dataclasses.field(default_factory=list)
+    pre_seeds: Optional[list] = None   # device-computed FragPair list
+    is_reversed: bool = False          # mate-2 revcomp already applied
 
     @property
     def rlen(self) -> int:

@@ -26,6 +26,8 @@ def _log(cfg: Config, msg: str) -> None:
 
 
 def run_pipeline(cfg: Config, cmd_line: str) -> int:
+    from . import enable_compilation_cache
+    enable_compilation_cache()
     t_start = time.time()
     temp_prefix = None
     if cfg.ref_fasta is not None and cfg.index_prefix is None:
@@ -77,19 +79,39 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
             sam_fh.write(line + "\n")
 
     n_lib = len(cfg.read_files1)
+    super_batch = max(cfg.batch_size, 1)
     for lib in range(n_lib):
         f1 = cfg.read_files1[lib]
         f2 = cfg.read_files2[lib] if lib < len(cfg.read_files2) else None
         pair_end = f2 is not None or cfg.pair_interleaved
-        for chunk in iter_chunks(f1, f2):
-            reads = [ReadState(r.header, r.seq, r.qual) for r in chunk]
-            sam_lines = engine.process_chunk(reads, pair_end)
-            if sam_fh:
-                for line in sam_lines:
-                    sam_fh.write(line + "\n")
+
+        def flush(buffered):
+            if engine.backend is not None:
+                flat = [rd for ch in buffered for rd in ch]
+                if pair_end and len(flat) % 2 == 0:
+                    engine.preseed(flat, True)
+                else:
+                    engine.preseed(flat, False)
+            for ch in buffered:
+                sam_lines = engine.process_chunk(ch, pair_end)
+                if sam_fh:
+                    for line in sam_lines:
+                        sam_fh.write(line + "\n")
             sys.stderr.write(f"\r{engine.stats.total_reads} "
                              f"{'paired-end' if pair_end else 'singled-end'} reads processed "
                              f"in {int(time.time() - t_start)} seconds...")
+
+        buffered = []
+        buffered_n = 0
+        for chunk in iter_chunks(f1, f2):
+            buffered.append([ReadState(r.header, r.seq, r.qual) for r in chunk])
+            buffered_n += len(chunk)
+            if buffered_n >= super_batch:
+                flush(buffered)
+                buffered = []
+                buffered_n = 0
+        if buffered:
+            flush(buffered)
     sys.stderr.write("\n")
     if sam_fh and sam_fh is not sys.stdout:
         sam_fh.close()

@@ -10,6 +10,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

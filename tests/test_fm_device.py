@@ -46,9 +46,20 @@ def test_inv_psi_and_sa(pair):
     got = np.asarray(inv_psi(fm, jnp.asarray(ks)))
     for i in range(64):
         assert got[i] == idx.inv_psi(int(ks[i]))
-    locs = np.asarray(sa_resolve(fm, jnp.asarray(ks), jnp.ones(64, dtype=bool)))
+    locs, resolved = sa_resolve(fm, jnp.asarray(ks), jnp.ones(64, dtype=bool))
+    locs = np.asarray(locs)
+    assert np.asarray(resolved).all()
     for i in range(64):
         assert locs[i] == idx.sa_lookup(int(ks[i]))
+    # walk fallback path (no full SA)
+    import dataclasses as dc
+    fm_nosa = dc.replace(fm, sa_full=jnp.zeros(0, dtype=jnp.int32))
+    locs2, resolved2 = sa_resolve(fm_nosa, jnp.asarray(ks),
+                                  jnp.ones(64, dtype=bool))
+    locs2 = np.asarray(locs2)
+    for i in range(64):
+        if np.asarray(resolved2)[i]:
+            assert locs2[i] == idx.sa_lookup(int(ks[i]))
 
 
 def test_seed_kernel_matches_oracle(pair):
