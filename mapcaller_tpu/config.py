@@ -51,7 +51,7 @@ class Config:
 
     # TPU execution
     backend: str = "auto"                       # auto|device|host  (host = NumPy oracle path)
-    batch_size: int = 512                       # reads per device batch
+    batch_size: int = 8192                      # reads per device batch
     max_read_len: int = 256                     # padded read length bucket
 
     # fixed algorithm constants (ref: structure.h:20-25, bwt_search.cpp:3-6)

@@ -112,10 +112,12 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
 
     def kernel(codes: jnp.ndarray, rlens: jnp.ndarray):
         B = batch
-        z = jnp.zeros(B, dtype=jnp.int32)
-        zb = jnp.zeros(B, dtype=bool)
-        zs = jnp.zeros((B, max_seeds), dtype=jnp.int32)
-        state = (z, zb, z, z, z, z, z, z.copy(), zs, zs, zs, zs, zb, codes, rlens)
+        # derive initial state from the inputs so every carry component
+        # has the same device-varying type under shard_map
+        z = rlens * 0
+        zb = z != 0
+        zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
+        state = (z, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb, codes, rlens)
         # fixed trip count: every iteration advances pos or ext_pos except
         # seed finalization (bounded by max_seeds) — a data-dependent
         # while cond would sync with the host each iteration.

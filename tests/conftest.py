@@ -11,6 +11,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+# the axon sitecustomize forces jax_platforms=axon,cpu; tests must run on
+# the virtual 8-device CPU mesh regardless
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
