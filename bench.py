@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: map+call reads/s per chip on a synthetic E. coli-scale set.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference MapCaller binary (built from /root/reference,
+g++ -O3, single thread — this host has one core) measured on this exact
+read set: 200,000 reads map+call in 2.7 s = ~74,000 reads/s
+(see BASELINE.md; rerun scripts/measure_baseline.sh to refresh).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_SEC = 74000.0   # reference binary, 1 CPU thread, this dataset
+BENCH_DIR = "/tmp/benchdata"
+N_READS = 40_000                   # subset used for timing
+
+
+def ensure_fixtures():
+    import numpy as np
+    from mapcaller_tpu.dna import decode
+    from mapcaller_tpu.simulator import mutate_genome, write_paired_fastq
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    fa = f"{BENCH_DIR}/ecoli.fa"
+    if not os.path.exists(fa):
+        rng = np.random.default_rng(99)
+        L = 4_600_000
+        s = decode(rng.integers(0, 4, size=L).astype(np.uint8))
+        with open(fa, "w") as f:
+            f.write(">EcoliSynth\n")
+            for i in range(0, L, 70):
+                f.write(s[i:i + 70] + "\n")
+    if not os.path.exists(f"{BENCH_DIR}/ecoli_mut.fa"):
+        mutate_genome(fa, f"{BENCH_DIR}/ecoli_mut.fa",
+                      f"{BENCH_DIR}/ecoli_truth.vcf", seed=7)
+    if not os.path.exists(f"{BENCH_DIR}/er1.fq"):
+        write_paired_fastq(f"{BENCH_DIR}/ecoli_mut.fa",
+                           f"{BENCH_DIR}/er1.fq", f"{BENCH_DIR}/er2.fq",
+                           100_000, seed=5)
+    from mapcaller_tpu.index.fmindex import index_exists, build_index
+    if not index_exists(f"{BENCH_DIR}/mci"):
+        build_index(fa, f"{BENCH_DIR}/mci")
+
+
+def main():
+    from mapcaller_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    ensure_fixtures()
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.index.fmindex import load_index
+    from mapcaller_tpu.io.fastq import iter_chunks
+    from mapcaller_tpu.pipeline.engine import MappingEngine
+    from mapcaller_tpu.pipeline.read import ReadState
+    from mapcaller_tpu.runner import make_engine, run_calling
+
+    idx = load_index(f"{BENCH_DIR}/mci")
+    cfg = Config(vcf_file=f"{BENCH_DIR}/out.vcf", log_file=f"{BENCH_DIR}/job.log",
+                 batch_size=8192, max_read_len=128)
+    engine = make_engine(idx, cfg)
+
+    # load the first N_READS reads
+    chunks = []
+    n = 0
+    for ch in iter_chunks(f"{BENCH_DIR}/er1.fq", f"{BENCH_DIR}/er2.fq"):
+        chunks.append(ch)
+        n += len(ch)
+        if n >= N_READS:
+            break
+
+    # warm up / compile on a tiny prefix (excluded from timing)
+    warm = [ReadState(r.header, r.seq, r.qual) for r in chunks[0]]
+    engine.preseed(warm, True)
+
+    t0 = time.time()
+    buffered = []
+    buffered_n = 0
+
+    def flush():
+        flat = [rd for c in buffered for rd in c]
+        engine.preseed(flat, True)
+        for c in buffered:
+            engine.process_chunk(c, True)
+
+    for ch in chunks:
+        buffered.append([ReadState(r.header, r.seq, r.qual) for r in ch])
+        buffered_n += len(ch)
+        if buffered_n >= cfg.batch_size:
+            flush()
+            buffered = []
+            buffered_n = 0
+    if buffered:
+        flush()
+    engine.finalize()
+    map_time = time.time() - t0
+
+    t1 = time.time()
+    run_calling(engine, cfg, "bench")
+    call_time = time.time() - t1
+
+    total = engine.stats.total_reads
+    rps = total / (map_time + call_time)
+    result = {
+        "metric": "reads/s/chip (map+call, synthetic E. coli 4.6Mb)",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "extra": {
+            "n_reads": total,
+            "map_s": round(map_time, 2),
+            "call_s": round(call_time, 2),
+            "mapped_pct": round(100.0 * engine.stats.total_mapped / max(total, 1), 2),
+            "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,38 +127,65 @@ def identify_variants(cfg: Config, genome: Genome, profile: Profile,
     gap = dup = 0
     freq_base = 0.01 if cfg.somatic else cfg.frequency_thr
 
-    # candidate mask to keep the python loop sparse
-    interesting = np.zeros(L, dtype=bool)
-    interesting[cov_all > 0] = True
-    for k in ins_keys + del_keys:
-        lo = max(0, k - 5)
-        interesting[lo:min(L, k + 6)] = True
+    # candidate mask to keep the python loop sparse: positions that can
+    # emit a SUB/INS/DEL record. Everything else only advances the
+    # gap/dup run-length counters, which the vectorized fast path below
+    # reproduces exactly.
     if cfg.gvcf or cfg.monomorphic:
-        interesting[:] = True
+        interesting = np.ones(L, dtype=bool)
+    else:
+        bd_pos = np.repeat(block_depth, BLOCK_SIZE)[:L]
+        cov_thr_v = np.maximum(bd_pos >> 1, cfg.min_allele_depth)
+        if cfg.somatic:
+            cov_thr_v = np.full(L, cfg.min_allele_depth, dtype=np.int64)
+        freq_thr_v = np.maximum(np.ceil(cov_all * freq_base).astype(np.int64),
+                                cfg.min_allele_depth)
+        masked = acgt.astype(np.int64).copy()
+        rc = np.minimum(ref_codes[:L], 3).astype(np.int64)
+        np.put_along_axis(masked, rc[None, :], -1, axis=0)
+        nonref_max = masked.max(axis=0)
+        interesting = (cov_all >= cov_thr_v) & (nonref_max >= freq_thr_v)
+        for k in ins_keys + del_keys:
+            lo = max(0, k - 5)
+            interesting[lo:min(L, k + 6)] = True
+
+    # per-position run state: 0 = gap (cov==0, multi==0), 1 = dup
+    # (cov==0, multi>0), 2 = covered (flushes both counters)
+    state_arr = np.where(cov_all > 0, 2,
+                         np.where(multi > 0, 1, 0)).astype(np.int8)
 
     g_pos = 0
     while g_pos < L:
         if not interesting[g_pos]:
-            # fast path: cov==0 region with no indel evidence in reach —
-            # only the gap/dup run-length counters advance here.
+            # fast path: no record can be emitted here — replay the
+            # gap/dup counter semantics (ref: cpp:632-651) over runs.
             rel = np.argmax(interesting[g_pos:])
             nxt = g_pos + int(rel) if interesting[g_pos:][int(rel)] else L
             if nxt == g_pos:
                 nxt = g_pos + 1
             pos = g_pos
-            for is_dup, length in _runs(multi[g_pos:nxt] > 0):
-                if is_dup:
-                    if gap > 0:
-                        if gap >= cfg.min_unmapped_size:
-                            out.append(Variant(pos - gap, VAR_UMR, DP=gap & 0xFFFF))
-                        gap = 0
-                    dup += length
-                else:
+            for st, length in _runs_int(state_arr[g_pos:nxt]):
+                if st == 0:
                     if dup > 0:
                         if dup > cfg.min_cnv_size:
                             out.append(Variant(pos - dup, VAR_CNV, DP=dup & 0xFFFF))
                         dup = 0
                     gap += length
+                elif st == 1:
+                    if gap > 0:
+                        if gap >= cfg.min_unmapped_size:
+                            out.append(Variant(pos - gap, VAR_UMR, DP=gap & 0xFFFF))
+                        gap = 0
+                    dup += length
+                else:  # covered: flush both at the first position
+                    if gap > 0:
+                        if gap >= cfg.min_unmapped_size:
+                            out.append(Variant(pos - gap, VAR_UMR, DP=gap & 0xFFFF))
+                        gap = 0
+                    if dup > 0:
+                        if dup > cfg.min_cnv_size:
+                            out.append(Variant(pos - dup, VAR_CNV, DP=dup & 0xFFFF))
+                        dup = 0
                 pos += length
             g_pos = nxt
             continue
@@ -264,6 +291,17 @@ def identify_variants(cfg: Config, genome: Genome, profile: Profile,
 
     out.sort(key=lambda v: (v.gPos, v.VarType))
     return out
+
+
+def _runs_int(arr: np.ndarray):
+    """Yield (value, run_length) over an integer array."""
+    if arr.size == 0:
+        return
+    changes = np.nonzero(np.diff(arr))[0] + 1
+    starts = np.concatenate([[0], changes])
+    ends = np.concatenate([changes, [arr.size]])
+    for s, e in zip(starts, ends):
+        yield int(arr[s]), int(e - s)
 
 
 def _runs(mask: np.ndarray):

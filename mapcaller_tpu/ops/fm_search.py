@@ -27,16 +27,20 @@ OCC_THR = 50
 MIN_SEED_LEN = 16
 
 
-def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
+def build_seed_kernel(fm_template: DeviceFMIndex, max_len: int, batch: int,
                       hits_per_read: int = 8):
     """Returns jitted fn: (codes uint8[B,L], rlens int32[B]) ->
-    (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, n_hits, overflow)."""
+    (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, n_hits, overflow).
+
+    The index is passed as a jit argument (donated to HBM once by JAX's
+    arg caching), not closed over, so the compiled binary doesn't embed
+    multi-MB constants."""
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
     H = batch * hits_per_read
-    L2 = fm.L2
-    primary = fm.primary
 
-    def step(state):
+    def step(fm, state):
+        L2 = fm.L2
+        primary = fm.primary
         (pos, in_ext, start, ext_pos, x0, x1, x2,
          n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, codes, rlens) = state
         B = pos.shape[0]
@@ -110,7 +114,7 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         return (pos, in_ext, start, ext_pos, x0, x1, x2,
                 n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, codes, rlens)
 
-    def kernel(codes: jnp.ndarray, rlens: jnp.ndarray):
+    def kernel(fm: DeviceFMIndex, codes: jnp.ndarray, rlens: jnp.ndarray):
         B = batch
         # derive initial state from the inputs so every carry component
         # has the same device-varying type under shard_map
@@ -122,7 +126,7 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         # seed finalization (bounded by max_seeds) — a data-dependent
         # while cond would sync with the host each iteration.
         n_iters = max_len + 2 * max_seeds + 2
-        state = jax.lax.fori_loop(0, n_iters, lambda _, s: step(s), state)
+        state = jax.lax.fori_loop(0, n_iters, lambda _, s: step(fm, s), state)
         (_, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
          overflow, _, _) = state
 
@@ -156,7 +160,12 @@ def build_seed_kernel(fm: DeviceFMIndex, max_len: int, batch: int,
         return (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
                 overflow, buffer_overflow)
 
-    return jax.jit(kernel)
+    jitted = jax.jit(kernel)
+
+    def fn(codes, rlens):
+        return jitted(fm_template, codes, rlens)
+
+    return fn
 
 
 def seeds_to_frag_pairs(hit_read: np.ndarray, hit_rpos: np.ndarray,
