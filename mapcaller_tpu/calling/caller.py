@@ -154,15 +154,16 @@ def identify_variants(cfg: Config, genome: Genome, profile: Profile,
     state_arr = np.where(cov_all > 0, 2,
                          np.where(multi > 0, 1, 0)).astype(np.int8)
 
+    cand_idx = np.nonzero(interesting)[0]
+    cand_pos = 0
     g_pos = 0
     while g_pos < L:
         if not interesting[g_pos]:
             # fast path: no record can be emitted here — replay the
             # gap/dup counter semantics (ref: cpp:632-651) over runs.
-            rel = np.argmax(interesting[g_pos:])
-            nxt = g_pos + int(rel) if interesting[g_pos:][int(rel)] else L
-            if nxt == g_pos:
-                nxt = g_pos + 1
+            while cand_pos < cand_idx.size and cand_idx[cand_pos] < g_pos:
+                cand_pos += 1
+            nxt = int(cand_idx[cand_pos]) if cand_pos < cand_idx.size else L
             pos = g_pos
             for st, length in _runs_int(state_arr[g_pos:nxt]):
                 if st == 0:

@@ -51,6 +51,7 @@ class Config:
 
     # TPU execution
     backend: str = "auto"                       # auto|device|host  (host = NumPy oracle path)
+    use_native: bool = True                     # C++ chunk processor (post-seeding)
     batch_size: int = 8192                      # reads per device batch
     max_read_len: int = 256                     # padded read length bucket
 

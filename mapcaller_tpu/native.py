@@ -1,0 +1,180 @@
+"""ctypes bindings for the native C++ chunk processor (native/mc_native.cpp).
+
+The native runtime owns the post-seeding per-read pipeline (chaining ->
+pairing -> rescue -> gapped alignment -> SAM -> PFM update); device
+kernels (JAX) provide the seeds; Python orchestrates chunks and owns the
+variant caller.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native")
+_SRC = os.path.join(_LIB_DIR, "mc_native.cpp")
+_SO = os.path.join(_LIB_DIR, "libmc_native.so")
+
+
+def _ensure_built() -> str:
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        "-o", _SO, _SRC], check=True)
+    return _SO
+
+
+_lib = None
+
+
+def load_lib():
+    global _lib
+    if _lib is None:
+        lib = C.CDLL(_ensure_built())
+        lib.mc_create.restype = C.c_void_p
+        lib.mc_create.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_void_p,
+                                  C.c_int32, C.c_char_p, C.c_void_p, C.c_void_p,
+                                  C.c_int32]
+        lib.mc_destroy.argtypes = [C.c_void_p]
+        lib.mc_set_profile.argtypes = [C.c_void_p] + [C.c_void_p] * 10
+        lib.mc_configure.argtypes = [C.c_void_p, C.c_int32, C.c_double,
+                                     C.c_int32, C.c_int32, C.c_int32, C.c_int32,
+                                     C.c_int32, C.c_int32, C.c_int32]
+        lib.mc_process_chunk.argtypes = [
+            C.c_void_p, C.c_int32, C.c_int32, C.c_char_p, C.c_char_p,
+            C.c_char_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+            C.c_void_p, C.c_int64, C.c_void_p]
+        lib.mc_fetch.argtypes = [C.c_void_p] + [C.c_void_p] * 9
+        lib.mc_event_seq_total.restype = C.c_int64
+        lib.mc_event_seq_total.argtypes = [C.c_void_p]
+        lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
+        lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
+        _lib = lib
+    return _lib
+
+
+def nw_align_native(s1: str, s2: str) -> Tuple[str, str]:
+    lib = load_lib()
+    n = len(s1) + len(s2) + 8
+    o1 = C.create_string_buffer(n)
+    o2 = C.create_string_buffer(n)
+    lib.mc_nw(s1.encode(), s2.encode(), o1, o2)
+    return o1.value.decode(), o2.value.decode()
+
+
+def ksw2_align_native(s1: str, s2: str) -> Tuple[str, str]:
+    lib = load_lib()
+    n = len(s1) + len(s2) + 8
+    o1 = C.create_string_buffer(n)
+    o2 = C.create_string_buffer(n)
+    lib.mc_ksw2(s1.encode(), s2.encode(), o1, o2)
+    return o1.value.decode(), o2.value.decode()
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(C.c_void_p)
+
+
+class NativeEngine:
+    """Owns the native context; mirrors MappingEngine's chunk contract."""
+
+    def __init__(self, genome, profile, ref_chars: np.ndarray, cfg):
+        self.lib = load_lib()
+        self.genome = genome
+        self.profile = profile
+        self._ref_chars = np.ascontiguousarray(ref_chars)  # keep alive
+        self._bkeys = np.ascontiguousarray(genome.boundary_keys, dtype=np.int64)
+        self._bchrom = np.ascontiguousarray(genome.boundary_chrom, dtype=np.int32)
+        names = b"".join(n.encode() + b"\0" for n in genome.names)
+        self._lens = np.ascontiguousarray(genome.lengths, dtype=np.int64)
+        self._locs = np.ascontiguousarray(genome.fwd_loc, dtype=np.int64)
+        self.ctx = self.lib.mc_create(
+            self._ref_chars.ctypes.data_as(C.c_char_p),
+            C.c_int64(genome.genome_size),
+            _ptr(self._bkeys), _ptr(self._bchrom), len(self._bkeys),
+            names, _ptr(self._lens), _ptr(self._locs), len(genome.names))
+        p = profile
+        self.lib.mc_set_profile(self.ctx, _ptr(p.acgt[0]), _ptr(p.acgt[1]),
+                                _ptr(p.acgt[2]), _ptr(p.acgt[3]),
+                                _ptr(p.multi_hit), _ptr(p.read_count),
+                                _ptr(p.F1), _ptr(p.R2), _ptr(p.F2), _ptr(p.R1))
+        self.configure(cfg, fastq=True)
+
+    def configure(self, cfg, fastq: bool) -> None:
+        self.lib.mc_configure(self.ctx, cfg.max_pos_diff,
+                              cfg.max_mismatch_rate, cfg.max_clip_size,
+                              cfg.max_duplicate, int(cfg.use_nw),
+                              int(cfg.unique_only), int(cfg.vcf_output),
+                              int(bool(cfg.sam_file or cfg.bam_file)),
+                              int(fastq))
+
+    def __del__(self):
+        try:
+            if self.ctx:
+                self.lib.mc_destroy(self.ctx)
+        except Exception:
+            pass
+
+    def process_chunk(self, reads, pair_end: bool, avg_dist: int,
+                      seed_counts: np.ndarray, seed_rpos: np.ndarray,
+                      seed_gpos: np.ndarray, seed_len: np.ndarray):
+        """reads: list of ReadState (mate2 already reverse-complemented).
+        Returns (sam_text, stats dict)."""
+        n = len(reads)
+        seqs = b"\0".join(r.seq.encode() for r in reads) + b"\0"
+        quals = b"\0".join((r.qual or "").encode() for r in reads) + b"\0"
+        headers = b"\0".join(r.header.encode() for r in reads) + b"\0"
+        rlens = np.array([r.rlen for r in reads], dtype=np.int32)
+        sizes = np.zeros(8, dtype=np.int64)
+        self.lib.mc_process_chunk(
+            self.ctx, n, int(pair_end), seqs, quals, headers, _ptr(rlens),
+            _ptr(np.ascontiguousarray(seed_counts, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
+            C.c_int64(avg_dist), _ptr(sizes))
+        (mapped, paired, dist_sum, rlen_sum, sam_len, n_ev,
+         n_inv, n_tnl) = (int(x) for x in sizes)
+        sam_buf = C.create_string_buffer(max(sam_len, 1))
+        ev_gpos = np.zeros(max(n_ev, 1), dtype=np.int64)
+        ev_kind = np.zeros(max(n_ev, 1), dtype=np.int32)
+        ev_slen = np.zeros(max(n_ev, 1), dtype=np.int32)
+        seq_total = int(self.lib.mc_event_seq_total(self.ctx))
+        ev_seq = C.create_string_buffer(max(seq_total, 1))
+        inv_g = np.zeros(max(n_inv, 1), dtype=np.int64)
+        inv_d = np.zeros(max(n_inv, 1), dtype=np.int64)
+        tnl_g = np.zeros(max(n_tnl, 1), dtype=np.int64)
+        tnl_d = np.zeros(max(n_tnl, 1), dtype=np.int64)
+        self.lib.mc_fetch(self.ctx, sam_buf, _ptr(ev_gpos), _ptr(ev_kind),
+                          _ptr(ev_slen), ev_seq, _ptr(inv_g), _ptr(inv_d),
+                          _ptr(tnl_g), _ptr(tnl_d))
+        sam_text = sam_buf.raw[:sam_len].decode()
+        # merge events into the host maps
+        off = 0
+        raw = ev_seq.raw
+        bp = self.profile.break_point
+        ins_m = self.profile.insert_map
+        del_m = self.profile.delete_map
+        for i in range(n_ev):
+            k = int(ev_kind[i])
+            g = int(ev_gpos[i])
+            ln = int(ev_slen[i])
+            if k == 0:
+                bp[g] = bp.get(g, 0) + 1
+            else:
+                s = raw[off:off + ln].decode()
+                tbl = ins_m if k == 1 else del_m
+                inner = tbl.setdefault(g, {})
+                inner[s] = inner.get(s, 0) + 1
+            off += ln
+        stats = {
+            "mapped": mapped, "paired": paired, "dist_sum": dist_sum,
+            "rlen_sum": rlen_sum,
+            "inv": list(zip(inv_g[:n_inv].tolist(), inv_d[:n_inv].tolist())),
+            "tnl": list(zip(tnl_g[:n_tnl].tolist(), tnl_d[:n_tnl].tolist())),
+        }
+        return sam_text, stats

@@ -35,6 +35,7 @@ def build_seed_kernel(fm_template: DeviceFMIndex, max_len: int, batch: int,
     The index is passed as a jit argument (donated to HBM once by JAX's
     arg caching), not closed over, so the compiled binary doesn't embed
     multi-MB constants."""
+    assert batch <= 8192 and max_len <= 511, "meta packing limits"
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
     H = batch * hits_per_read
 
@@ -157,14 +158,55 @@ def build_seed_kernel(fm_template: DeviceFMIndex, max_len: int, batch: int,
         unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
             (hit_valid & ~resolved).astype(jnp.int32))
         overflow = overflow | (unresolved_read > 0)
-        return (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
-                overflow, buffer_overflow)
+        # pack everything into ONE compact int32 vector: the tunneled
+        # platform pays dearly per byte and per transfer. meta word =
+        # read_idx << 18 | rpos << 9 | len (len == 0 <=> invalid slot).
+        meta = jnp.where(hit_valid,
+                         (hit_read << 18) | (hit_rpos << 9) | hit_len,
+                         0)
+        ovf_bits = jnp.zeros((B + 31) // 32, dtype=jnp.int32).at[
+            jnp.arange(B) >> 5].add(
+            overflow.astype(jnp.int32) << (jnp.arange(B) & 31))
+        packed = jnp.concatenate([
+            meta, hit_loc, ovf_bits,
+            jnp.stack([total, buffer_overflow.astype(jnp.int32)]),
+        ])
+        return packed
 
     jitted = jax.jit(kernel)
 
-    def fn(codes, rlens):
+    def submit(codes, rlens):
+        """Enqueue the kernel (async dispatch); returns the device array."""
         return jitted(fm_template, codes, rlens)
 
+    def collect(dev_packed):
+        packed = np.asarray(dev_packed)
+        return _unpack(packed)
+
+    def fn(codes, rlens):
+        return _unpack(np.asarray(jitted(fm_template, codes, rlens)))
+
+    def _unpack(packed):
+        meta = packed[0:H]
+        hit_loc = packed[H:2 * H]
+        nov = (batch + 31) // 32
+        ovf_bits = packed[2 * H:2 * H + nov]
+        total = int(packed[2 * H + nov])
+        buf_ovf = bool(packed[2 * H + nov + 1])
+        hit_len = meta & 0x1FF
+        hit_rpos = (meta >> 9) & 0x1FF
+        hit_read = meta >> 18
+        hit_valid = hit_len > 0
+        bit = (np.arange(batch) & 31)
+        overflow = ((ovf_bits[np.arange(batch) >> 5] >> bit) & 1).astype(bool)
+        return (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
+                overflow, buf_ovf)
+
+    fn.raw_kernel = kernel   # traceable: (fm, codes, rlens) -> packed int32
+    fn.H = H
+    fn.batch = batch
+    fn.submit = submit
+    fn.collect = collect
     return fn
 
 

@@ -47,7 +47,7 @@ def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
 
     def device_fn(codes, rlens):
         # codes: [per_device_batch, max_len] (this device's shard)
-        hit_rpos, hit_len, hit_loc, hit_valid = seed_kernel_local(codes, rlens)
+        hit_rpos, hit_len, hit_loc, hit_valid = seed_kernel_local(fm, codes, rlens)
         # PFM coverage partial: +1 over [loc, loc+len) for forward-strand
         # hits (bounded per-seed length <= max_len)
         loc = jnp.where(hit_valid & (hit_loc < G), hit_loc, G_pad)
@@ -78,10 +78,15 @@ def _seed_body(fm: DeviceFMIndex, max_len: int, batch: int, hits_per_read: int):
     from ..ops.fm_search import build_seed_kernel
     inner = build_seed_kernel(fm, max_len, batch, hits_per_read)
 
-    def body(codes, rlens):
-        # a jitted fn composes fine under tracing/shard_map
-        (hit_read, hit_rpos, hit_len, hit_loc, hit_valid, total,
-         overflow, buf_ovf) = inner(codes, rlens)
+    H = inner.H
+
+    def body(fm_arg, codes, rlens):
+        packed = inner.raw_kernel(fm_arg, codes, rlens)
+        meta = packed[0:H]
+        hit_loc = packed[H:2 * H]
+        hit_len = meta & 0x1FF
+        hit_rpos = (meta >> 9) & 0x1FF
+        hit_valid = hit_len > 0
         return hit_rpos, hit_len, hit_loc, hit_valid
 
     return body

@@ -20,6 +20,8 @@ from .seeding import identify_simple_pairs
 
 
 class DeviceBackend:
+    BUCKETS = (128, 192, 256)
+
     def __init__(self, idx: FMIndex, cfg: Config):
         import jax
         self.idx = idx
@@ -27,42 +29,81 @@ class DeviceBackend:
         self.fm = DeviceFMIndex.from_host(idx)
         self.batch = cfg.batch_size
         self.max_len = cfg.max_read_len
-        self.kernel = build_seed_kernel(self.fm, self.max_len, self.batch)
+        self._kernels = {}
 
-    def seed_batch(self, codes_list: List[np.ndarray]) -> List[list]:
-        """codes_list: per-read uint8 code arrays (any length <= max_len
-        after truncation guard). Returns per-read sorted FragPair lists
-        with sentinel, exactly as identify_simple_pairs would."""
+    def _kernel_for(self, bucket: int):
+        if bucket not in self._kernels:
+            self._kernels[bucket] = build_seed_kernel(self.fm, bucket, self.batch)
+        return self._kernels[bucket]
+
+    def seed_batch(self, codes_list: List[np.ndarray]) -> List[tuple]:
+        """codes_list: per-read uint8 code arrays. Returns per-read flat
+        seed arrays (rpos int32[], gpos int64[], length int32[]) with the
+        PosDiff > 0 filter applied — the exact seed set of
+        identify_simple_pairs, unsorted and without the sentinel."""
+        return self.collect(self.submit(codes_list))
+
+    def submit(self, codes_list: List[np.ndarray]):
+        """Enqueue device seeding for all sub-batches (async dispatch);
+        returns a token for collect()."""
         n = len(codes_list)
-        out: List[list] = []
+        pending = []
         for lo in range(0, n, self.batch):
             chunk = codes_list[lo:lo + self.batch]
-            out.extend(self._one_batch(chunk))
+            pending.append(self._submit_one(chunk))
+        return pending
+
+    def collect(self, pending) -> List[tuple]:
+        out: List[tuple] = []
+        for item in pending:
+            out.extend(self._collect_one(item))
         return out
 
-    def _one_batch(self, chunk: List[np.ndarray]) -> List[list]:
+    def _oracle_arrays(self, c: np.ndarray) -> tuple:
+        pairs = identify_simple_pairs(self.idx, c)[:-1]  # drop sentinel
+        return (np.array([p.rPos for p in pairs], dtype=np.int32),
+                np.array([p.gPos for p in pairs], dtype=np.int64),
+                np.array([p.rLen for p in pairs], dtype=np.int32))
+
+    def _submit_one(self, chunk: List[np.ndarray]):
         B = self.batch
-        codes = np.full((B, self.max_len), 4, dtype=np.uint8)
+        longest = max((c.shape[0] for c in chunk), default=0)
+        bucket = next((b for b in self.BUCKETS
+                       if b >= min(longest, self.max_len)), self.BUCKETS[-1])
+        codes = np.full((B, bucket), 4, dtype=np.uint8)
         rlens = np.zeros(B, dtype=np.int32)
         fallback = [False] * len(chunk)
         for i, c in enumerate(chunk):
-            if c.shape[0] > self.max_len:
+            if c.shape[0] > bucket:
                 fallback[i] = True
                 continue
             codes[i, :c.shape[0]] = c
             rlens[i] = c.shape[0]
-        outs = self.kernel(jnp.asarray(codes), jnp.asarray(rlens))
+        kernel = self._kernel_for(bucket)
+        dev = kernel.submit(jnp.asarray(codes), jnp.asarray(rlens))
+        return (kernel, dev, chunk, fallback)
+
+    def _collect_one(self, item) -> List[tuple]:
+        kernel, dev, chunk, fallback = item
+        B = self.batch
         (hit_read, hit_rpos, hit_len, hit_loc, hit_valid,
-         total, overflow, buf_ovf) = (np.asarray(x) for x in outs)
+         total, overflow, buf_ovf) = kernel.collect(dev)
         if bool(buf_ovf):
             # batch-level hit-buffer overflow: host fallback for everything
-            return [identify_simple_pairs(self.idx, c) for c in chunk]
-        pairs = seeds_to_frag_pairs(hit_read, hit_rpos, hit_len, hit_loc,
-                                    hit_valid, B, self.idx.seq_len)
+            return [self._oracle_arrays(c) for c in chunk]
+        pd = hit_loc.astype(np.int64) - hit_rpos
+        keep = hit_valid & (pd > 0)
+        order_read = hit_read[keep]
+        rp = hit_rpos[keep].astype(np.int32)
+        gp = hit_loc[keep].astype(np.int64)
+        ln = hit_len[keep].astype(np.int32)
+        # hits are already grouped by read (flattened seed order)
+        bounds = np.searchsorted(order_read, np.arange(B + 1))
         result = []
         for i, c in enumerate(chunk):
             if fallback[i] or overflow[i]:
-                result.append(identify_simple_pairs(self.idx, c))
+                result.append(self._oracle_arrays(c))
             else:
-                result.append(pairs[i])
+                s, e = bounds[i], bounds[i + 1]
+                result.append((rp[s:e], gp[s:e], ln[s:e]))
         return result

@@ -46,7 +46,8 @@ class RunStats:
 
 
 class MappingEngine:
-    def __init__(self, idx: FMIndex, cfg: Config, backend: Optional[object] = None):
+    def __init__(self, idx: FMIndex, cfg: Config, backend: Optional[object] = None,
+                 use_native: Optional[bool] = None):
         self.idx = idx
         self.cfg = cfg
         self.genome = Genome.from_packed(idx.ref)
@@ -61,31 +62,99 @@ class MappingEngine:
         # is observable through the brace bug at ReadMapping.cpp:502)
         self._discord_gpos = 0
         self.backend = backend  # optional device batch runner
+        self.native = None      # optional C++ chunk processor
+        if use_native is None:
+            use_native = cfg.use_native
+        if use_native:
+            try:
+                from ..native import NativeEngine
+                prof = self.profile if self.profile is not None else Profile(1)
+                self.native = NativeEngine(self.genome, prof, self.ref_chars, cfg)
+            except Exception as e:  # pragma: no cover
+                import sys
+                sys.stderr.write(f"[warn] native runtime unavailable ({e}); "
+                                 f"using Python pipeline\n")
 
     # ------------------------------------------------------------------
-    def preseed(self, reads: List[ReadState], pair_end: bool) -> None:
-        """Run device seeding for a super-batch of reads (possibly many
-        chunks). Mate-2 reads are reverse-complemented first, exactly as
-        the per-read path does (ref: ReadMapping.cpp:451)."""
+    def preseed_submit(self, reads: List[ReadState], pair_end: bool):
+        """Enqueue device seeding for a super-batch (async dispatch).
+        Mate-2 reads are reverse-complemented first, exactly as the
+        per-read path does (ref: ReadMapping.cpp:451)."""
         if self.backend is None:
-            return
+            return None
         if pair_end and len(reads) % 2 == 0:
             for j in range(1, len(reads), 2):
                 if not reads[j].is_reversed:
                     reads[j].reverse_orientation()
                     reads[j].is_reversed = True
         codes = [r.codes() for r in reads]
-        seeds = self.backend.seed_batch(codes)
+        return (reads, self.backend.submit(codes))
+
+    def preseed_wait(self, token) -> None:
+        if token is None:
+            return
+        reads, pending = token
+        seeds = self.backend.collect(pending)
         for r, s in zip(reads, seeds):
             r.pre_seeds = s
 
+    def preseed(self, reads: List[ReadState], pair_end: bool) -> None:
+        self.preseed_wait(self.preseed_submit(reads, pair_end))
+
     def _map_one(self, read: ReadState) -> None:
         if read.pre_seeds is not None:
-            pairs = read.pre_seeds
+            from .seeding import FragPair
+            rp, gp, ln = read.pre_seeds
+            pairs = [FragPair(True, int(r), int(g), int(l), int(l),
+                              int(g) - int(r))
+                     for r, g, l in zip(rp, gp, ln)]
+            pairs.sort(key=lambda f: (f.PosDiff, f.rPos))
+            pairs.append(FragPair(True, 0, self.idx.seq_len, 0, 0,
+                                  self.idx.seq_len))
         else:
             pairs = identify_simple_pairs(self.idx, read.codes())
         read.cans = simple_pair_clustering(self.genome, read.rlen, pairs,
                                            self.cfg.max_pos_diff)
+
+    def _seed_arrays(self, read: ReadState):
+        if read.pre_seeds is not None:
+            return read.pre_seeds
+        pairs = identify_simple_pairs(self.idx, read.codes())[:-1]
+        return (np.array([p.rPos for p in pairs], dtype=np.int32),
+                np.array([p.gPos for p in pairs], dtype=np.int64),
+                np.array([p.rLen for p in pairs], dtype=np.int32))
+
+    def process_chunk_native(self, reads: List[ReadState], pair_end: bool) -> List[str]:
+        cfg = self.cfg
+        is_paired = pair_end and len(reads) % 2 == 0
+        if is_paired:
+            for j in range(1, len(reads), 2):
+                if not reads[j].is_reversed:
+                    reads[j].reverse_orientation()
+                    reads[j].is_reversed = True
+        triples = [self._seed_arrays(r) for r in reads]
+        counts = np.array([len(t[0]) for t in triples], dtype=np.int32)
+        if len(triples):
+            rpos = np.concatenate([t[0] for t in triples]).astype(np.int32)
+            gpos = np.concatenate([t[1] for t in triples]).astype(np.int64)
+            slen = np.concatenate([t[2] for t in triples]).astype(np.int32)
+        else:
+            rpos = np.zeros(0, np.int32)
+            gpos = np.zeros(0, np.int64)
+            slen = np.zeros(0, np.int32)
+        sam_text, st = self.native.process_chunk(
+            reads, is_paired, self.stats.avg_dist, counts, rpos, gpos, slen)
+        s = self.stats
+        s.total_reads += len(reads)
+        s.total_mapped += st["mapped"]
+        s.total_paired += st["paired"]
+        s.total_paired_distance += st["dist_sum"]
+        s.read_length_sum += st["rlen_sum"]
+        if s.total_paired > 1000:
+            s.avg_dist = int(s.total_paired_distance / s.total_paired + 0.5)
+        self.inv_sites.extend(st["inv"])
+        self.tnl_sites.extend(st["tnl"])
+        return sam_text.splitlines()
 
     def process_chunk_paired(self, reads: List[ReadState]) -> List[str]:
         cfg = self.cfg
@@ -207,6 +276,8 @@ class MappingEngine:
         return sam
 
     def process_chunk(self, reads: List[ReadState], pair_end: bool) -> List[str]:
+        if self.native is not None:
+            return self.process_chunk_native(reads, pair_end)
         if pair_end and len(reads) % 2 == 0:
             return self.process_chunk_paired(reads)
         return self.process_chunk_single(reads)

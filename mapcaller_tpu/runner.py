@@ -85,13 +85,14 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
         f2 = cfg.read_files2[lib] if lib < len(cfg.read_files2) else None
         pair_end = f2 is not None or cfg.pair_interleaved
 
-        def flush(buffered):
-            if engine.backend is not None:
-                flat = [rd for ch in buffered for rd in ch]
-                if pair_end and len(flat) % 2 == 0:
-                    engine.preseed(flat, True)
-                else:
-                    engine.preseed(flat, False)
+        def submit(buffered):
+            if engine.backend is None:
+                return None
+            flat = [rd for ch in buffered for rd in ch]
+            return engine.preseed_submit(flat, pair_end and len(flat) % 2 == 0)
+
+        def process(buffered, token):
+            engine.preseed_wait(token)
             for ch in buffered:
                 sam_lines = engine.process_chunk(ch, pair_end)
                 if sam_fh:
@@ -101,17 +102,28 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
                              f"{'paired-end' if pair_end else 'singled-end'} reads processed "
                              f"in {int(time.time() - t_start)} seconds...")
 
+        # one super-batch in flight: the device seeds batch k+1 while the
+        # host runs the post-seeding pipeline for batch k
+        pending = None
         buffered = []
         buffered_n = 0
         for chunk in iter_chunks(f1, f2):
             buffered.append([ReadState(r.header, r.seq, r.qual) for r in chunk])
             buffered_n += len(chunk)
             if buffered_n >= super_batch:
-                flush(buffered)
+                token = submit(buffered)
+                if pending is not None:
+                    process(*pending)
+                pending = (buffered, token)
                 buffered = []
                 buffered_n = 0
         if buffered:
-            flush(buffered)
+            token = submit(buffered)
+            if pending is not None:
+                process(*pending)
+            pending = (buffered, token)
+        if pending is not None:
+            process(*pending)
     sys.stderr.write("\n")
     if sam_fh and sam_fh is not sys.stdout:
         sam_fh.close()

@@ -1,0 +1,1387 @@
+// MapCaller-TPU native runtime: post-seeding chunk processing.
+//
+// Port of the validated Python host pipeline (pipeline/chaining.py,
+// pairing.py, rescue.py, alignment.py, profile.py, io/sam.py) to C++,
+// which itself mirrors the reference's semantics
+// (ref: src/ReadMapping.cpp, ReadAlignment.cpp, AlignmentRescue.cpp,
+// KmerAnalysis.cpp, AlignmentProfile.cpp, SamReport.cpp,
+// nw_alignment.cpp, ksw2_alignment.cpp). Device kernels (JAX) feed this
+// module flat seed arrays; it returns SAM text, updates the PFM planes
+// in place, and emits indel/breakpoint/discord events for the caller.
+//
+// Build: g++ -O3 -fPIC -shared -o libmc_native.so mc_native.cpp
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+using std::string;
+using std::vector;
+
+typedef int64_t i64;
+typedef int32_t i32;
+
+// ---------------------------------------------------------------------------
+// context
+// ---------------------------------------------------------------------------
+struct Chrom {
+  string name;
+  i64 len;
+  i64 fwd_loc;
+};
+
+struct Ctx {
+  const char* ref;  // RefSequence chars, length two_l (borrowed from numpy)
+  i64 L;            // genome size
+  i64 two_l;
+  vector<i64> bkeys;     // sorted boundary keys (chrom end positions)
+  vector<i32> bchrom;    // owning chrom per key
+  vector<Chrom> chroms;
+  // profile planes (borrowed numpy buffers), length L each
+  i32* acgt[4] = {nullptr, nullptr, nullptr, nullptr};
+  i32* multi_hit = nullptr;
+  i32* read_count = nullptr;
+  i32* F1 = nullptr; i32* R2 = nullptr; i32* F2 = nullptr; i32* R1 = nullptr;
+  // config
+  i32 max_pos_diff = 30;
+  double max_mismatch_rate = 0.05;
+  i32 max_clip_size = 5;
+  i32 max_duplicate = 5;
+  bool use_nw = true;
+  bool unique_only = true;
+  bool vcf_output = true;
+  bool sam_output = false;
+  bool fastq = true;
+  // persistent DiscordPair state (mirrors ReadMapping.cpp:420 reuse bug)
+  i64 discord_gpos = 0;
+};
+
+static unsigned char NT4[256];
+static bool nt4_init = [] {
+  memset(NT4, 4, 256);
+  NT4['A'] = NT4['a'] = 0; NT4['C'] = NT4['c'] = 1;
+  NT4['G'] = NT4['g'] = 2; NT4['T'] = NT4['t'] = 3;
+  return true;
+}();
+
+static char COMP[256];
+static bool comp_init = [] {
+  for (int i = 0; i < 256; i++) COMP[i] = 'N';
+  COMP['A'] = 'T'; COMP['a'] = 'T'; COMP['C'] = 'G'; COMP['c'] = 'G';
+  COMP['G'] = 'C'; COMP['g'] = 'C'; COMP['T'] = 'A'; COMP['t'] = 'A';
+  return true;
+}();
+
+// ---------------------------------------------------------------------------
+// data structures (ref: structure.h:113-150)
+// ---------------------------------------------------------------------------
+struct FragPair {
+  bool simple;
+  i32 rPos;
+  i64 gPos;
+  i32 rLen;
+  i32 gLen;
+  i64 PosDiff;
+  string aln1, aln2;
+};
+
+struct AlnCan {
+  i32 score = 0;
+  bool orientation = true;
+  i32 SamFlag = 0;
+  i32 paired_idx = -1;
+  vector<FragPair> frags;
+};
+
+struct Read {
+  const char* seq;   // possibly revcomped storage (owned below)
+  const char* qual;
+  const char* header;
+  i32 rlen;
+  string seq_store, qual_store;
+  i32 score = 0, sub_score = 0, best_idx = -1;
+  vector<AlnCan> cans;
+};
+
+// ---------------------------------------------------------------------------
+// genome coordinate helpers (ref: tools.cpp:112-164)
+// ---------------------------------------------------------------------------
+static size_t boundary_index(const Ctx& c, i64 g) {
+  return std::lower_bound(c.bkeys.begin(), c.bkeys.end(), g) - c.bkeys.begin();
+}
+
+static i64 alignment_boundary(const Ctx& c, i64 g) {
+  size_t i = boundary_index(c, g);
+  if (i >= c.bkeys.size()) return c.bkeys.back();
+  return c.bkeys[i];
+}
+
+static bool check_alignment_validity(const Ctx& c, i64 first, i64 last_end) {
+  if (first < 0 || last_end > c.two_l) return false;
+  size_t i1 = boundary_index(c, first);
+  size_t i2 = boundary_index(c, last_end - 1);
+  return i1 < c.bkeys.size() && i2 < c.bkeys.size() && c.bkeys[i1] == c.bkeys[i2];
+}
+
+struct Coor { i32 ci; i64 pos; };
+
+static Coor determine_coordinate(const Ctx& c, i64 g) {
+  Coor r;
+  if (g < c.L) {
+    if (c.chroms.size() == 1) { r.ci = 0; r.pos = g + 1; return r; }
+    size_t i = boundary_index(c, g);
+    r.ci = c.bchrom[i];
+    r.pos = g + 1 - c.chroms[r.ci].fwd_loc;
+  } else {
+    if (c.chroms.size() == 1) { r.ci = 0; r.pos = c.two_l - g; return r; }
+    size_t i = boundary_index(c, g);
+    r.ci = c.bchrom[i];
+    r.pos = c.bkeys[i] - g + 1;
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------------
+// NW aligner, scaled-by-2 integers (exact vs reference float32;
+// ref: nw_alignment.cpp, see ops/nw_host.py)
+// ---------------------------------------------------------------------------
+static const i64 MAXPEN = -131072, OPENG = -2, EXTG = -1, NEWG = -3;
+
+static void nw_align(string& s1, string& s2) {
+  int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
+  vector<i64> r((size_t)m * n), t((size_t)m * n), s((size_t)m * n);
+  auto R = [&](int i, int j) -> i64& { return r[(size_t)i * n + j]; };
+  auto T = [&](int i, int j) -> i64& { return t[(size_t)i * n + j]; };
+  auto S = [&](int i, int j) -> i64& { return s[(size_t)i * n + j]; };
+  R(0, 0) = T(0, 0) = S(0, 0) = 0;
+  for (int i = 1; i < m; i++) { R(i, 0) = MAXPEN; S(i, 0) = T(i, 0) = OPENG + (i64)i * EXTG; }
+  for (int j = 1; j < n; j++) { T(0, j) = MAXPEN; S(0, j) = R(0, j) = OPENG + (i64)j * EXTG; }
+  for (int i = 1; i < m; i++) {
+    unsigned char c1 = NT4[(unsigned char)s1[i - 1]];
+    for (int j = 1; j < n; j++) {
+      i64 rv = std::max(R(i, j - 1) + EXTG, S(i, j - 1) + NEWG);
+      i64 tv = std::max(T(i - 1, j) + EXTG, S(i - 1, j) + NEWG);
+      i64 d = S(i - 1, j - 1) + (c1 == NT4[(unsigned char)s2[j - 1]] ? 2 : -2);
+      R(i, j) = rv; T(i, j) = tv; S(i, j) = std::max(std::max(d, rv), tv);
+    }
+  }
+  int i = m - 1, j = n - 1;
+  while (i > 0 || j > 0) {
+    if (S(i, j) == R(i, j)) { s1.insert((size_t)i, 1, '-'); j--; }
+    else if (S(i, j) == T(i, j)) { s2.insert((size_t)j, 1, '-'); i--; }
+    else { i--; j--; }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// ksw2 aligner (exact transliteration of ops/ksw2_host.py, which is
+// fuzz-identical to the reference's ksw_extz2_sse)
+// ---------------------------------------------------------------------------
+static void ksw2_align(string& s1, string& s2) {
+  int qlen = (int)s1.size(), tlen = (int)s2.size();
+  if (qlen == 0 || tlen == 0) return;
+  const int Q = 2, E = 1, QE = 3, QE2 = 6, MAXSC = 7, WILD = 4;
+  int w = std::max(qlen, tlen), wl = w, wr = w;
+  int tlen_ = (tlen + 15) / 16;
+  int n_col = ((tlen + 15) / 16 + 1) * 16;
+  int nt16 = tlen_ * 16;
+  vector<int8_t> u(nt16, 0), v(nt16, 0), x(nt16, 0), y(nt16, 0), s8(nt16 + 16, 0);
+  vector<uint8_t> sf(nt16 + 16, 0), qr(qlen + 16, 0);
+  for (int i = 0; i < tlen; i++) sf[i] = NT4[(unsigned char)s2[i]];
+  for (int i = 0; i < qlen; i++) qr[i] = NT4[(unsigned char)s1[qlen - 1 - i]];
+  int n_diag = qlen + tlen - 1;
+  vector<uint8_t> p((size_t)n_diag * n_col, 0);
+  vector<int> off(n_diag), off_end(n_diag);
+  int last_st = -1, last_en = -1;
+  for (int r = 0; r < n_diag; r++) {
+    int st = 0, en = tlen - 1;
+    if (st < r - qlen + 1) st = r - qlen + 1;
+    if (en > r) en = r;
+    if (st < ((r - wr + 1) >> 1)) st = (r - wr + 1) >> 1;
+    if (en > ((r + wl) >> 1)) en = (r + wl) >> 1;
+    int st0 = st, en0 = en;
+    st = st / 16 * 16; en = (en + 16) / 16 * 16 - 1;
+    int8_t x1, v1;
+    if (st > 0) {
+      if (last_st <= st - 1 && st - 1 <= last_en) { x1 = x[st - 1]; v1 = v[st - 1]; }
+      else { x1 = v1 = 0; }
+    } else { x1 = 0; v1 = r ? Q : 0; }
+    if (en >= r) { y[r] = 0; u[r] = r ? Q : 0; }
+    for (int t0 = st0; t0 <= en0; t0 += 16) {
+      for (int k = 0; k < 16; k++) {
+        uint8_t sq = sf[t0 + k];
+        uint8_t stq = qr[qlen - 1 - r + t0 + k];
+        int8_t val = (sq == WILD || stq == WILD) ? 0 : (sq == stq ? 1 : -1);
+        s8[t0 + k] = val;
+      }
+    }
+    uint8_t* pr = &p[(size_t)r * n_col];
+    off[r] = st; off_end[r] = en;
+    int8_t xp = x1, vp = v1;  // shifted-in boundary values
+    for (int t = st; t <= en; t++) {
+      int8_t z = (int8_t)(s8[t] + QE2);
+      int8_t xt1 = xp, vt1 = vp;
+      xp = x[t]; vp = v[t];              // carry for next position
+      int8_t a = (int8_t)(xt1 + vt1);
+      int8_t ut = u[t];
+      int8_t b = (int8_t)(y[t] + ut);
+      uint8_t d = (a > z) ? 1 : 0;
+      if (a > z) z = a;
+      if (b > z) d = 2;
+      uint8_t zu = std::max((uint8_t)z, (uint8_t)b);
+      zu = std::min(zu, (uint8_t)MAXSC);
+      z = (int8_t)zu;
+      u[t] = (int8_t)(z - vt1);
+      v[t] = (int8_t)(z - ut);
+      z = (int8_t)(z - Q);
+      a = (int8_t)(a - z);
+      b = (int8_t)(b - z);
+      x[t] = a > 0 ? a : 0; if (a > 0) d |= 0x08;
+      y[t] = b > 0 ? b : 0; if (b > 0) d |= 0x10;
+      pr[t - st] = d;
+    }
+    last_st = st; last_en = en;
+  }
+  // backtrack (ref: ksw2_alignment.cpp:25-68)
+  int i = tlen - 1, j = qlen - 1, state = 0;
+  string cig;
+  while (i >= 0 && j >= 0) {
+    int force_state = -1;
+    int r = i + j;
+    if (i < off[r]) force_state = 2;
+    if (i > off_end[r]) force_state = 1;
+    int tmp = force_state < 0 ? p[(size_t)r * n_col + (i - off[r])] : 0;
+    if (state == 0) state = tmp & 7;
+    else if (!((tmp >> (state + 2)) & 1)) state = 0;
+    if (state == 0) state = tmp & 7;
+    if (force_state >= 0) state = force_state;
+    if (state == 0) { cig.push_back('M'); i--; j--; }
+    else if (state == 1 || state == 3) { cig.push_back('D'); i--; }
+    else { cig.push_back('I'); j--; }
+  }
+  if (i >= 0) cig.append((size_t)i + 1, 'D');
+  if (j >= 0) cig.append((size_t)j + 1, 'I');
+  // apply reversed cigar: '-' insertions (ref: ksw2_alignment.cpp:263-271)
+  int pos = 0;
+  for (int k = (int)cig.size() - 1; k >= 0; k--, pos++) {
+    if (cig[k] == 'D') s1.insert(s1.begin() + pos, '-');
+    else if (cig[k] == 'I') s2.insert(s2.begin() + pos, '-');
+  }
+}
+
+// ---------------------------------------------------------------------------
+// chaining (ref: ReadMapping.cpp:160-242; pipeline/chaining.py)
+// ---------------------------------------------------------------------------
+static AlnCan identify_closest(const vector<FragPair>& sp, int beg, int end) {
+  AlnCan can;
+  can.score = 0;
+  int i = beg, bs = 0, b0 = beg, b1 = beg;
+  int s = sp[beg].rLen;
+  int j = beg + 1;
+  for (; j < end; j++) {
+    if (sp[j].PosDiff != sp[i].PosDiff) {
+      if (s > bs) { bs = s; b0 = i; b1 = j; }
+      i = j; s = sp[j].rLen;
+    } else s += sp[j].rLen;
+  }
+  if (s > bs) { bs = s; b0 = i; b1 = j; }
+  can.score = bs;
+  can.frags.assign(sp.begin() + b0, sp.begin() + b1);
+  return can;
+}
+
+static vector<AlnCan> simple_pair_clustering(const Ctx& c, i32 rlen,
+                                             vector<FragPair>& sp) {
+  vector<AlnCan> out;
+  int num = (int)sp.size();
+  int head = 0;
+  i64 gend = alignment_boundary(c, sp[0].gPos);
+  int score = sp[0].rLen, score_thr = rlen >> 2;
+  for (int i = 0, j = 1; j < num; i++, j++) {
+    if (sp[j].gPos > gend || llabs(sp[j].PosDiff - sp[i].PosDiff) > c.max_pos_diff) {
+      if (score > score_thr) {
+        if (score_thr < (score >> 1)) score_thr = score >> 1;
+        if (score >= rlen) out.push_back(identify_closest(sp, head, j));
+        else {
+          AlnCan can;
+          can.score = score;
+          can.frags.assign(sp.begin() + head, sp.begin() + j);
+          out.push_back(std::move(can));
+        }
+      }
+      head = j;
+      gend = alignment_boundary(c, sp[j].gPos);
+      score = sp[j].rLen;
+    } else score += sp[j].rLen;
+  }
+  return out;
+}
+
+static void remove_redundant(vector<AlnCan>& cans) {
+  if (cans.size() > 1) {
+    i32 mx = 0;
+    for (auto& c : cans) if (c.score > mx) mx = c.score;
+    for (auto& c : cans) if (c.score < mx) c.score = 0;
+  }
+}
+
+static int check_aln_number(const vector<AlnCan>& cans) {
+  int n = 0;
+  for (auto& c : cans) if (c.score > 0) n++;
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// pairing (ref: ReadMapping.cpp:244-394; pipeline/pairing.py)
+// ---------------------------------------------------------------------------
+static int check_paired_distance(i64 esti, vector<AlnCan>& c1, vector<AlnCan>& c2) {
+  int num1 = (int)c1.size(), num2 = (int)c2.size();
+  if ((i64)num1 * num2 > 100) { remove_redundant(c1); remove_redundant(c2); }
+  struct PR { int i, j; i64 s; };
+  vector<PR> vec;
+  i64 maxs = 0;
+  for (int i = 0; i < num1; i++) {
+    if (c1[i].score == 0) continue;
+    int idx2 = -1;
+    i64 ps = 0;
+    for (int j = 0; j < num2; j++) {
+      if (c2[j].score == 0 || c2[j].frags[0].PosDiff < c1[i].frags[0].PosDiff) continue;
+      i64 d = c2[j].frags[0].PosDiff - c1[i].frags[0].PosDiff;
+      if (d < esti && c2[j].score > ps) { idx2 = j; ps = c2[j].score; }
+    }
+    if (idx2 != -1) {
+      ps = c1[i].score + c2[idx2].score;
+      if (ps >= maxs) { maxs = ps; vec.push_back({i, idx2, ps}); }
+    }
+  }
+  int n = 0;
+  if (maxs > 0) {
+    for (auto& pr : vec) if (pr.s == maxs) {
+      n++;
+      c1[pr.i].paired_idx = pr.j;
+      c2[pr.j].paired_idx = pr.i;
+    }
+  }
+  return n;
+}
+
+static void mask_unpaired(vector<AlnCan>& c1, vector<AlnCan>& c2) {
+  i32 mx = 0;
+  for (auto& c : c1)
+    if (c.paired_idx != -1 && mx < c.score + c2[c.paired_idx].score)
+      mx = c.score + c2[c.paired_idx].score;
+  for (auto& c : c1)
+    if (c.paired_idx == -1 || c.score + c2[c.paired_idx].score < mx) c.score = 0;
+  for (auto& c : c2)
+    if (c.paired_idx == -1 || c.score + c1[c.paired_idx].score < mx) c.score = 0;
+}
+
+struct CoorPair { i64 dist = 0, g1 = 0, g2 = 0; };
+
+static CoorPair gen_coordinate_pair(const vector<AlnCan>& c1, const vector<AlnCan>& c2) {
+  CoorPair cp;
+  for (auto& c : c1) {
+    if (c.score > 0 && c.paired_idx != -1 && c2[c.paired_idx].score > 0) {
+      cp.g1 = c.frags[0].gPos;
+      cp.g2 = c2[c.paired_idx].frags[0].gPos;
+      cp.dist = llabs(cp.g2 - cp.g1);
+      return cp;
+    }
+  }
+  vector<i64> g1v, g2v;
+  for (auto& c : c1) if (c.score > 0) g1v.push_back(c.frags[0].gPos);
+  for (auto& c : c2) if (c.score > 0) g2v.push_back(c.frags[0].gPos);
+  if (g1v.size() == 1 && g2v.size() == 1) {
+    cp.g1 = g1v[0]; cp.g2 = g2v[0]; cp.dist = llabs(cp.g2 - cp.g1);
+  } else if (g1v.empty() && !g2v.empty()) {
+    cp.g1 = -1; cp.dist = cp.g2 = g2v[0];
+  } else if (!g1v.empty() && g2v.empty()) {
+    cp.dist = cp.g1 = g1v[0]; cp.g2 = -1;
+  } else cp.dist = 0;
+  return cp;
+}
+
+// ---------------------------------------------------------------------------
+// k-mer rescue (ref: KmerAnalysis.cpp, AlignmentRescue.cpp; pipeline/rescue.py)
+// ---------------------------------------------------------------------------
+static const int KMER = 8;
+static const uint32_t KPOW = 0x3FFF;
+
+static vector<std::pair<uint32_t, uint32_t>> kmer_vec(const char* seq, int len) {
+  vector<std::pair<uint32_t, uint32_t>> v;
+  int tail = 0, count = 0;
+  while (count < KMER && tail < len) {
+    if (seq[tail++] != 'N') count++; else count = 0;
+  }
+  if (count == KMER) {
+    uint32_t head = tail - KMER, wid = 0;
+    for (int i = (int)head; i < tail; i++) wid = (wid << 2) + NT4[(unsigned char)seq[i]];
+    v.push_back({wid, head});
+    head++;
+    while (tail < len) {
+      if (seq[tail] != 'N') {
+        wid = ((wid & KPOW) << 2) + NT4[(unsigned char)seq[tail]];
+        v.push_back({wid, head});
+        head++; tail++;
+      } else {
+        count = 0; tail++;
+        while (count < KMER && tail < len) {
+          if (seq[tail++] != 'N') count++; else count = 0;
+        }
+        if (count == KMER) {
+          head = tail - KMER; wid = 0;
+          for (int i = (int)head; i < (int)head + KMER; i++)
+            wid = (wid << 2) + NT4[(unsigned char)seq[i]];
+          v.push_back({wid, head});
+          head++;
+        } else break;
+      }
+    }
+    std::sort(v.begin(), v.end(),
+              [](const std::pair<uint32_t, uint32_t>& a,
+                 const std::pair<uint32_t, uint32_t>& b) { return a.first < b.first; });
+  }
+  return v;
+}
+
+struct KPair { i64 pd; uint32_t rpos, gpos; };
+
+static vector<KPair> common_kmers(uint32_t max_shift,
+                                  const vector<std::pair<uint32_t, uint32_t>>& v1,
+                                  const vector<std::pair<uint32_t, uint32_t>>& v2) {
+  vector<KPair> out;
+  for (auto& it : v1) {
+    auto lo = std::lower_bound(v2.begin(), v2.end(), std::make_pair(it.first, 0u),
+        [](const std::pair<uint32_t, uint32_t>& a, const std::pair<uint32_t, uint32_t>& b) {
+          return a.first < b.first;
+        });
+    for (auto k = lo; k != v2.end() && k->first == it.first; ++k) {
+      uint32_t g = k->second, r = it.second;
+      if ((g >= r && g - r < max_shift) || (g < r && r - g < max_shift))
+        out.push_back({(i64)g - (i64)r, r, g});
+    }
+  }
+  std::sort(out.begin(), out.end(), [](const KPair& a, const KPair& b) {
+    if (a.pd == b.pd) return a.rpos < b.rpos;
+    return a.pd < b.pd;
+  });
+  return out;
+}
+
+static vector<FragPair> pairs_from_kmers(int thr, i64 gpos, const vector<KPair>& kp) {
+  vector<FragPair> out;
+  int num = (int)kp.size();
+  for (int i = 0; i < num;) {
+    i64 pd = kp[i].pd;
+    uint32_t npos = kp[i].rpos + 1;
+    int j = i + 1;
+    while (j < num && kp[j].rpos == npos && kp[j].pd == pd) { npos++; j++; }
+    int l = KMER + (j - 1 - i);
+    if (l >= thr) {
+      FragPair fp;
+      fp.simple = true;
+      fp.rPos = (i32)kp[i].rpos;
+      fp.gPos = kp[i].gpos + gpos;
+      fp.rLen = fp.gLen = l;
+      fp.PosDiff = pd + gpos;
+      out.push_back(std::move(fp));
+    }
+    i = j;
+  }
+  return out;
+}
+
+static AlnCan best_aln_can(const vector<FragPair>& sp) {
+  AlnCan best;
+  int num = (int)sp.size();
+  for (int i = 0; i < num;) {
+    int score = sp[i].rLen;
+    int j = i + 1;
+    while (j < num && sp[j].PosDiff == sp[i].PosDiff) { score += sp[j].rLen; j++; }
+    if (score > best.score) {
+      best.score = score;
+      best.frags.assign(sp.begin() + i, sp.begin() + j);
+    }
+    i = j;
+  }
+  return best;
+}
+
+static int alignment_rescue(const Ctx& c, i64 est, Read& r1, Read& r2) {
+  i32 score1 = 0, score2 = 0;
+  for (auto& can : r1.cans) if (can.score > score1) score1 = can.score;
+  for (auto& can : r2.cans) if (can.score > score2) score2 = can.score;
+  if (score1 < (r1.rlen >> 2) && score2 < (r2.rlen >> 2)) return 0;
+  int strategy;
+  if (score1 - score2 > (r2.rlen >> 2)) strategy = 1;
+  else if (score2 - score1 > (r1.rlen >> 2)) strategy = 2;
+  else strategy = 3;
+  int n_paired = 0;
+  int num1 = (int)r1.cans.size(), num2 = (int)r2.cans.size();
+
+  auto try_fix = [&](Read& anchor, Read& other, i32 other_score, i32 thr,
+                     int n_other, bool left_of) {
+    auto k1 = kmer_vec(other.seq, other.rlen);
+    int added = 0;
+    size_t n_anchor = anchor.cans.size();
+    for (size_t idx = 0; idx < n_anchor; idx++) {
+      AlnCan& can = anchor.cans[idx];
+      if (can.score < thr || can.paired_idx != -1) continue;
+      i64 left_end, right_end;
+      if (left_of) { left_end = can.frags[0].PosDiff; right_end = can.frags[0].PosDiff + est + other.rlen; }
+      else { left_end = can.frags[0].PosDiff - est; right_end = can.frags[0].PosDiff + other.rlen; }
+      if (right_end > c.two_l) right_end = c.two_l;
+      size_t i1 = boundary_index(c, left_end), i2 = boundary_index(c, right_end);
+      i32 ci1 = i1 < c.bkeys.size() ? c.bchrom[i1] : -1;
+      i32 ci2 = i2 < c.bkeys.size() ? c.bchrom[i2] : -2;
+      if (ci1 != ci2) continue;
+      i64 slen = right_end - left_end;
+      if (slen < other.rlen) continue;
+      auto k2 = kmer_vec(c.ref + left_end, (int)slen);
+      auto kp = common_kmers((uint32_t)slen, k1, k2);
+      auto sp = pairs_from_kmers(10, left_end, kp);
+      if (sp.empty()) continue;
+      AlnCan best = best_aln_can(sp);
+      if (best.score > other_score) {
+        n_paired++;
+        can.paired_idx = n_other + added;
+        best.paired_idx = (int)idx;
+        other.cans.push_back(std::move(best));
+        added++;
+      }
+    }
+    return added;
+  };
+  if (strategy == 1 || strategy == 3) try_fix(r1, r2, score2, score1 >> 1, num2, true);
+  if (strategy == 2 || strategy == 3) try_fix(r2, r1, score1, score2 >> 1, num1, false);
+  return n_paired;
+}
+
+// ---------------------------------------------------------------------------
+// alignment production (ref: ReadAlignment.cpp; pipeline/alignment.py)
+// ---------------------------------------------------------------------------
+static const int MIN_ALN_BLOCK = 5;
+
+static void revcomp_inplace(string& s) {
+  int i = 0, j = (int)s.size() - 1;
+  while (i < j) {
+    char a = s[i];
+    s[i] = COMP[(unsigned char)s[j]];
+    s[j] = COMP[(unsigned char)a];
+    i++; j--;
+  }
+  if (i == j) s[i] = COMP[(unsigned char)s[i]];
+}
+
+static void process_normal_pair(const Ctx& c, const char* seq, FragPair& fp,
+                                bool use_nw) {
+  if (fp.rLen > 0) fp.aln1.assign(seq + fp.rPos, (size_t)fp.rLen);
+  else fp.aln1.assign((size_t)fp.gLen, '-');
+  if (fp.gLen > 0) fp.aln2.assign(c.ref + fp.gPos, (size_t)fp.gLen);
+  else fp.aln2.assign((size_t)fp.rLen, '-');
+  if (fp.gPos >= c.L) {
+    if (fp.rLen > 0) revcomp_inplace(fp.aln1);
+    if (fp.gLen > 0) revcomp_inplace(fp.aln2);
+  }
+  if (fp.rLen > 0 && fp.gLen > 0) {
+    bool run = fp.rLen != fp.gLen;
+    if (!run) {
+      int mis = 0;
+      for (int i = 0; i < fp.rLen; i++) if (fp.aln1[i] != fp.aln2[i]) mis++;
+      run = mis > 1 && mis >= (int)(fp.rLen * 0.2);
+    }
+    if (run) {
+      if (use_nw) nw_align(fp.aln1, fp.aln2);
+      else ksw2_align(fp.aln1, fp.aln2);
+    }
+  }
+}
+
+static bool check_local_quality(const FragPair& fp) {
+  int aln_type = -1, n = 0, mis = 0, status = 0;
+  for (size_t i = 0; i < fp.aln1.size(); i++) {
+    if (fp.aln1[i] == '-') { if (aln_type != 0) { aln_type = 0; status++; } }
+    else if (fp.aln2[i] == '-') { if (aln_type != 1) { aln_type = 1; status++; } }
+    else {
+      n++;
+      if (fp.aln1[i] != fp.aln2[i]) mis++;
+      if (aln_type != 2) { aln_type = 2; status++; }
+    }
+  }
+  return !(status >= 4 || (mis >= 3 && mis >= (int)(n * 0.3)));
+}
+
+static int evaluate_score(const vector<FragPair>& frags) {
+  int score = 0;
+  for (auto& f : frags) {
+    if (f.simple) score += f.rLen;
+    else if (!f.aln1.empty())
+      for (size_t i = 0; i < f.aln1.size(); i++) if (f.aln1[i] == f.aln2[i]) score++;
+  }
+  return score;
+}
+
+static int find_mismatch_number(const vector<FragPair>& frags) {
+  int mm = 0;
+  for (auto& f : frags)
+    if (!f.simple)
+      for (size_t i = 0; i < f.aln1.size(); i++)
+        if (f.aln1[i] != f.aln2[i] && f.aln1[i] != '-' && f.aln2[i] != '-') mm++;
+  return mm;
+}
+
+static void remove_heading_gaps(bool first, FragPair& fp) {
+  int rs = 0, gs = 0, n = (int)fp.aln1.size(), j = 0;
+  while (j < n) {
+    if (fp.aln1[j] == '-') gs++;
+    else if (fp.aln2[j] == '-') rs++;
+    else break;
+    j++;
+  }
+  if (j > 0) {
+    fp.aln1.erase(0, j); fp.aln2.erase(0, j);
+    fp.rLen -= rs; fp.gLen -= gs;
+    if (first) { fp.rPos += rs; fp.gPos += gs; }
+  }
+}
+
+static void remove_tailing_gaps(bool first, FragPair& fp) {
+  int rs = 0, gs = 0, n = (int)fp.aln1.size(), j = n - 1;
+  while (j >= 0) {
+    if (fp.aln1[j] == '-') gs++;
+    else if (fp.aln2[j] == '-') rs++;
+    else break;
+    j--;
+  }
+  j++;
+  if (j < n) {
+    fp.aln1.resize(j); fp.aln2.resize(j);
+    fp.rLen -= rs; fp.gLen -= gs;
+    if (first) { fp.rPos += rs; fp.gPos += gs; }
+  }
+}
+
+static bool produce_read_alignment(const Ctx& c, Read& read) {
+  int max_mm_thr = (int)(read.rlen * c.max_mismatch_rate);
+  for (size_t ci = 0; ci < read.cans.size(); ci++) {
+    AlnCan& can = read.cans[ci];
+    if (can.score == 0) continue;
+    auto& frags = can.frags;
+    std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
+      if (a.rPos == b.rPos) return a.gPos < b.gPos;
+      return a.rPos < b.rPos;
+    });
+    // remove overlaps (ref: ReadAlignment.cpp:38-65)
+    bool overlap = false;
+    for (size_t i = 0; i + 1 < frags.size(); i++) {
+      FragPair& a = frags[i];
+      FragPair& b = frags[i + 1];
+      if (a.rPos == b.rPos) { overlap = true; a.rLen = a.gLen = 0; }
+      else if (a.gPos >= b.gPos || a.gPos + a.gLen > b.gPos) {
+        overlap = true;
+        i64 ov = a.gPos + a.gLen - b.gPos;
+        a.rLen -= (i32)ov; if (a.rLen < 0) a.rLen = 0;
+        a.gLen -= (i32)ov; if (a.gLen < 0) a.gLen = 0;
+      }
+    }
+    if (overlap) {
+      vector<FragPair> kept;
+      for (auto& f : frags) if (f.rLen != 0) kept.push_back(std::move(f));
+      frags = std::move(kept);
+    }
+    // identify normal pairs (ref: ReadAlignment.cpp:67-108)
+    {
+      size_t num = frags.size();
+      vector<FragPair> ins;
+      for (size_t i = 0; i + 1 < num; i++) {
+        i32 rg = frags[i + 1].rPos - (frags[i].rPos + frags[i].rLen);
+        if (rg < 0) rg = 0;
+        i64 gg = frags[i + 1].gPos - (frags[i].gPos + frags[i].gLen);
+        if (gg < 0) gg = 0;
+        if (rg > 0 || gg > 0) {
+          FragPair fp;
+          fp.simple = false;
+          fp.rPos = frags[i].rPos + frags[i].rLen;
+          fp.gPos = frags[i].gPos + frags[i].gLen;
+          fp.rLen = rg; fp.gLen = (i32)gg;
+          fp.PosDiff = fp.gPos - fp.rPos;
+          ins.push_back(std::move(fp));
+        }
+      }
+      if (!ins.empty()) {
+        for (auto& f : ins) frags.push_back(std::move(f));
+        std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
+          if (a.rPos == b.rPos) return a.gPos < b.gPos;
+          return a.rPos < b.rPos;
+        });
+      }
+      if (frags[0].rPos > 0) {
+        FragPair fp;
+        fp.simple = false;
+        fp.rPos = 0;
+        fp.gPos = fp.PosDiff = frags[0].PosDiff;
+        fp.rLen = fp.gLen = frags[0].rPos;
+        frags.insert(frags.begin(), std::move(fp));
+      }
+      FragPair& last = frags.back();
+      if (last.rPos + last.rLen < read.rlen) {
+        FragPair fp;
+        fp.simple = false;
+        fp.rPos = last.rPos + last.rLen;
+        fp.gPos = last.gPos + last.gLen;
+        fp.PosDiff = last.PosDiff;
+        fp.rLen = fp.gLen = read.rlen - fp.rPos;
+        frags.push_back(std::move(fp));
+      }
+    }
+    if (!check_alignment_validity(c, frags[0].gPos,
+                                  frags.back().gPos + frags.back().gLen)) {
+      can.score = 0;
+      continue;
+    }
+    bool b_head = true, b_tail = true;
+    int tail_idx = (int)frags.size() - 1;
+    for (int i = 0; i < (int)frags.size(); i++) {
+      FragPair& fp = frags[i];
+      if (fp.simple) continue;
+      process_normal_pair(c, read.seq, fp, c.use_nw);
+      if (i == 0) {
+        if (fp.gPos < c.L) remove_heading_gaps(true, fp);
+        else remove_tailing_gaps(true, fp);
+        if ((int)fp.aln1.size() >= MIN_ALN_BLOCK && !check_local_quality(fp)) {
+          b_head = false;
+          fp.rLen = fp.gLen = 0;
+          fp.aln1.clear(); fp.aln2.clear();
+          fp.rPos = frags[i + 1].rPos;
+          fp.gPos = frags[i + 1].gPos;
+        }
+      } else if (i == tail_idx) {
+        if (fp.gPos < c.L) remove_tailing_gaps(false, fp);
+        else remove_heading_gaps(false, fp);
+        if ((int)fp.aln1.size() >= MIN_ALN_BLOCK && !check_local_quality(fp)) {
+          b_tail = false;
+          fp.rLen = fp.gLen = 0;
+          fp.rPos = frags[i - 1].rPos + frags[i - 1].rLen;
+          fp.gPos = frags[i - 1].gPos + frags[i - 1].gLen;
+          fp.aln1.clear(); fp.aln2.clear();
+        }
+      } else {
+        if (fp.rLen >= MIN_ALN_BLOCK && fp.gLen >= MIN_ALN_BLOCK && !check_local_quality(fp)) {
+          can.score = 0;
+          break;
+        }
+      }
+    }
+    if (can.score == 0) continue;
+    if (!b_head && !b_tail) can.score = 0;
+    else {
+      can.score = evaluate_score(frags);
+      if (can.score == 0) continue;
+      if (can.score < (int)(read.rlen * (1 - c.max_mismatch_rate)) &&
+          find_mismatch_number(frags) > max_mm_thr)
+        can.score = 0;
+      else {
+        can.orientation = frags[0].gPos < c.L;
+        if (!can.orientation) std::reverse(frags.begin(), frags.end());
+        if (can.score > read.score) {
+          read.score = can.score;
+          read.best_idx = (int)ci;
+        } else if (can.score > read.sub_score) read.sub_score = can.score;
+      }
+    }
+  }
+  for (auto& can : read.cans) if (can.score < read.score) can.score = 0;
+  return read.score > 0;
+}
+
+// ---------------------------------------------------------------------------
+// SAM generation (ref: SamReport.cpp; io/sam.py)
+// ---------------------------------------------------------------------------
+static int evaluate_mapq(const Read& r) {
+  if (r.score == 0 || r.score == r.sub_score) return 0;
+  if (r.sub_score == 0 || r.score - r.sub_score > 5) return 60;
+  float ratio = (float)(r.score - r.sub_score) / (float)r.score;
+  float inner = 30.0f * (1.0f - ratio);
+  int mapq = (int)((double)inner * log((double)r.score) + 0.4999);
+  return mapq > 60 ? 60 : mapq;
+}
+
+static string generate_cigar(i32 rlen, bool orientation, const vector<FragPair>& frags) {
+  string cig;
+  char buf[32];
+  char state = ' ';
+  i64 cnt = 0;
+  auto flush = [&]() {
+    if (cnt > 0) { snprintf(buf, sizeof buf, "%lld%c", (long long)cnt, state); cig += buf; }
+    cnt = 0;
+  };
+  if (!frags[0].simple) {
+    if (orientation) {
+      if (frags[0].rPos != 0) { snprintf(buf, sizeof buf, "%dS", frags[0].rPos); cig += buf; }
+    } else {
+      i32 s = rlen - (frags[0].rPos + frags[0].rLen);
+      if (s > 0) { snprintf(buf, sizeof buf, "%dS", s); cig += buf; }
+    }
+  }
+  for (auto& f : frags) {
+    if (f.simple) {
+      if (state != 'M') { flush(); state = 'M'; }
+      cnt += f.rLen;
+    } else if (!f.aln1.empty()) {
+      for (size_t j = 0; j < f.aln1.size(); j++) {
+        char st = f.aln1[j] == '-' ? 'D' : (f.aln2[j] == '-' ? 'I' : 'M');
+        if (state != st) { flush(); state = st; }
+        cnt++;
+      }
+    } else if (f.rLen > 0) {
+      if (state != 'I') { flush(); state = 'I'; }
+      cnt += f.rLen;
+    } else if (f.gLen > 0) {
+      if (state != 'D') { flush(); state = 'D'; }
+      cnt += f.gLen;
+    }
+  }
+  flush();
+  const FragPair& last = frags.back();
+  if (frags.size() > 1 && !last.simple) {
+    if (orientation) {
+      i32 s = rlen - (last.rPos + last.rLen);
+      if (s > 0) { snprintf(buf, sizeof buf, "%dS", s); cig += buf; }
+    } else {
+      if (last.rPos != 0) { snprintf(buf, sizeof buf, "%dS", last.rPos); cig += buf; }
+    }
+  }
+  return cig;
+}
+
+static Coor get_aln_coordinate(const Ctx& c, bool orientation, const vector<FragPair>& frags) {
+  for (auto& f : frags) {
+    if (f.gLen > 0) {
+      if (orientation) return determine_coordinate(c, f.gPos);
+      return determine_coordinate(c, f.gPos + f.gLen - 1);
+    }
+  }
+  return {0, 0};
+}
+
+static void set_paired_flags(Read& r1, Read& r2) {
+  auto one_side = [](Read& rd, Read& other, int base_flag, bool fwd_is_0x20) {
+    auto obit = [&](bool orient, bool primary) {
+      if (fwd_is_0x20) return primary ? (orient ? 0x20 : 0x10) : (orient ? 0x10 : 0x20);
+      return primary ? (orient ? 0x10 : 0x20) : (orient ? 0x20 : 0x10);
+    };
+    if (rd.score > rd.sub_score) {
+      AlnCan& c = rd.cans[rd.best_idx];
+      c.SamFlag = base_flag | obit(c.orientation, true);
+      int j = c.paired_idx;
+      if (j != -1 && other.cans[j].score > 0) c.SamFlag |= 0x2;
+      else { c.SamFlag |= obit(c.orientation, false); c.SamFlag |= 0x8; }
+    } else if (rd.score > 0) {
+      for (auto& c : rd.cans) {
+        if (c.score > 0) {
+          c.SamFlag = base_flag | obit(c.orientation, true);
+          int j = c.paired_idx;
+          if (j != -1 && other.cans[j].score > 0) c.SamFlag |= 0x2;
+          else c.SamFlag |= 0x8;
+        }
+      }
+    }
+  };
+  one_side(r1, r2, 0x41, true);
+  one_side(r2, r1, 0x81, false);
+}
+
+static void append_sam_paired(const Ctx& c, Read& r1, Read& r2, string& out) {
+  set_paired_flags(r1, r2);
+  char buf[512];
+  auto unmapped = [&](Read& rd, Read& other, int frag_bit) {
+    int flag = 0x1 | 0x4 | frag_bit;
+    if (other.score == 0) flag |= 0x8;
+    else if (!other.cans.empty()) flag |= 0x30;  // ref: SamReport.cpp:398-399
+    out += rd.header;
+    snprintf(buf, sizeof buf, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flag);
+    out += buf;
+    out += rd.seq;
+    out.push_back('\t');
+    out += c.fastq ? rd.qual : "*";
+    out += "\tAS:i:0\tXS:i:0\n";
+  };
+  auto mapped = [&](Read& rd, Read& other, bool is_first) {
+    int mapq = evaluate_mapq(rd);
+    string rseq, rqual;
+    bool have_r = false;
+    for (int i = rd.best_idx; i < (int)rd.cans.size(); i++) {
+      AlnCan& can = rd.cans[i];
+      if (can.score != rd.score) continue;
+      if (!can.orientation && !have_r) {
+        rseq.assign(rd.seq, rd.rlen);
+        revcomp_inplace(rseq);
+        if (c.fastq) {
+          rqual.assign(rd.qual, rd.rlen);
+          std::reverse(rqual.begin(), rqual.end());
+        }
+        have_r = true;
+      }
+      string cig = generate_cigar(rd.rlen, can.orientation, can.frags);
+      Coor co = get_aln_coordinate(c, can.orientation, can.frags);
+      int j = can.paired_idx;
+      const char* sq = can.orientation ? rd.seq : rseq.c_str();
+      const char* qq = c.fastq ? (can.orientation ? rd.qual : rqual.c_str()) : "*";
+      out += rd.header;
+      if (j != -1 && other.score > 0 && other.cans[j].score == other.score) {
+        AlnCan& oc = other.cans[j];
+        Coor co2 = get_aln_coordinate(c, oc.orientation, oc.frags);
+        i64 dist;
+        if (is_first) {
+          // dist sign convention (ref: SamReport.cpp:425,473)
+          dist = co2.pos - co.pos + (can.orientation ? r2.rlen : -(i64)r1.rlen);
+        } else {
+          dist = -(co.pos - co2.pos + (oc.orientation ? r2.rlen : -(i64)r1.rlen));
+        }
+        snprintf(buf, sizeof buf, "\t%d\t%s\t%lld\t%d\t", can.SamFlag,
+                 c.chroms[co.ci].name.c_str(), (long long)co.pos, mapq);
+        out += buf;
+        out += cig;
+        snprintf(buf, sizeof buf, "\t=\t%lld\t%lld\t", (long long)co2.pos, (long long)dist);
+        out += buf;
+      } else {
+        snprintf(buf, sizeof buf, "\t%d\t%s\t%lld\t%d\t", can.SamFlag,
+                 c.chroms[co.ci].name.c_str(), (long long)co.pos, mapq);
+        out += buf;
+        out += cig;
+        out += "\t*\t0\t0\t";
+      }
+      out += sq;
+      out.push_back('\t');
+      out += qq;
+      snprintf(buf, sizeof buf, "\tNM:i:%d\tAS:i:%d\tXS:i:%d\n",
+               rd.rlen - can.score, rd.score, rd.sub_score);
+      out += buf;
+      if (c.unique_only) break;
+    }
+  };
+  if (r1.score == 0) unmapped(r1, r2, 0x40); else mapped(r1, r2, true);
+  if (r2.score == 0) unmapped(r2, r1, 0x80); else mapped(r2, r1, false);
+}
+
+static void append_sam_single(const Ctx& c, Read& rd, string& out) {
+  char buf[512];
+  if (rd.score == 0) {
+    out += rd.header;
+    out += "\t4\t*\t0\t0\t*\t*\t0\t0\t";
+    out += rd.seq;
+    out.push_back('\t');
+    out += c.fastq ? rd.qual : "*";
+    out += "\tAS:i:0\tXS:i:0\n";
+    return;
+  }
+  // flags (ref: SamReport.cpp:7-24)
+  if (rd.score > rd.sub_score || !c.unique_only) {
+    AlnCan& can = rd.cans[rd.best_idx];
+    can.SamFlag = can.orientation ? 0 : 0x10;
+  } else if (rd.score > 0) {
+    for (auto& can : rd.cans) if (can.score > 0) can.SamFlag = can.orientation ? 0 : 0x10;
+  }
+  int mapq = evaluate_mapq(rd);
+  string rseq, rqual;
+  bool have_r = false;
+  for (int i = rd.best_idx; i < (int)rd.cans.size(); i++) {
+    AlnCan& can = rd.cans[i];
+    if (can.score != rd.score) continue;
+    if (!can.orientation && !have_r) {
+      rseq.assign(rd.seq, rd.rlen);
+      revcomp_inplace(rseq);
+      if (c.fastq) {
+        rqual.assign(rd.qual, rd.rlen);
+        std::reverse(rqual.begin(), rqual.end());
+      }
+      have_r = true;
+    }
+    string cig = generate_cigar(rd.rlen, can.orientation, can.frags);
+    Coor co = get_aln_coordinate(c, can.orientation, can.frags);
+    out += rd.header;
+    snprintf(buf, sizeof buf, "\t%d\t%s\t%lld\t%d\t", can.SamFlag,
+             c.chroms[co.ci].name.c_str(), (long long)co.pos, mapq);
+    out += buf;
+    out += cig;
+    out += "\t*\t0\t0\t";
+    out += can.orientation ? rd.seq : rseq.c_str();
+    out.push_back('\t');
+    out += c.fastq ? (can.orientation ? rd.qual : rqual.c_str()) : "*";
+    snprintf(buf, sizeof buf, "\tNM:i:%d\tAS:i:%d\tXS:i:%d\n",
+             rd.rlen - can.score, rd.score, rd.sub_score);
+    out += buf;
+    if (c.unique_only) break;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// profile accumulation (ref: AlignmentProfile.cpp; pipeline/profile.py)
+// ---------------------------------------------------------------------------
+static const int MIN_BP_SIZE = 20;
+static const i32 MAX_ALLELE = 4095;
+
+// event kinds for the host-side maps
+enum { EV_BP = 0, EV_INS = 1, EV_DEL = 2 };
+struct Event { i64 gpos; i32 kind; string seq; };
+
+static void bump_base(Ctx& c, i64 g, int plane) {
+  if (g >= 0 && g < c.L && c.acgt[plane][g] < MAX_ALLELE) c.acgt[plane][g]++;
+}
+
+static void walk_aln(Ctx& c, const string& a1, const string& a2, i64 gpos,
+                     vector<Event>& evs) {
+  size_t j = 0, n = a1.size();
+  while (j < n) {
+    if (a2[j] == '-') {
+      size_t e = j + 1;
+      while (e < n && a2[e] == '-') e++;
+      evs.push_back({gpos - 1, EV_INS, a1.substr(j, e - j)});
+      j = e;
+    } else if (a1[j] == '-') {
+      size_t e = j + 1;
+      while (e < n && a1[e] == '-') e++;
+      evs.push_back({gpos - 1, EV_DEL, a2.substr(j, e - j)});
+      gpos += e - j;
+      j = e;
+    } else {
+      unsigned char b = NT4[(unsigned char)a1[j]];
+      if (b < 4) bump_base(c, gpos, b);
+      j++; gpos++;
+    }
+  }
+}
+
+static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
+  for (auto& can : rd.cans) {
+    if (can.score == 0) continue;
+    auto& frags = can.frags;
+    const FragPair& first = frags.front();
+    const FragPair& last = frags.back();
+    if (first.rLen == 0 && first.gLen == 0) {
+      if (first.rPos > MIN_BP_SIZE) {
+        i64 g = first.gPos;
+        evs.push_back({g < c.L ? g : c.two_l - 1 - g, EV_BP, string()});
+      }
+      if (first.rPos > c.max_clip_size) continue;
+    }
+    if (last.rLen == 0 && last.gLen == 0) {
+      if (rd.rlen - last.rPos > MIN_BP_SIZE) {
+        i64 g = last.gPos;
+        evs.push_back({g < c.L ? g : c.two_l - 1 - g, EV_BP, string()});
+      }
+      if (rd.rlen - last.rPos > c.max_clip_size) continue;
+    }
+    i64 g_start = can.orientation ? first.gPos : c.two_l - (first.gPos + first.gLen);
+    if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
+    else continue;
+    i32* tgt = b_first ? (can.orientation ? c.F1 : c.R1)
+                       : (can.orientation ? c.R2 : c.F2);
+    i64 end = std::min<i64>(g_start + rd.rlen, c.L);
+    for (i64 g = g_start; g < end; g++) tgt[g]++;
+    if (can.orientation) {
+      for (auto& fp : frags) {
+        if (fp.simple) {
+          i32 rp = fp.rPos;
+          i64 gp = fp.gPos;
+          for (i32 j = 0; j < fp.rLen; j++, rp++, gp++) {
+            unsigned char b = NT4[(unsigned char)rd.seq[rp]];
+            if (b < 4) bump_base(c, gp, b);
+          }
+        } else if (fp.gLen == 0) evs.push_back({fp.gPos - 1, EV_INS, fp.aln1});
+        else if (fp.rLen == 0) evs.push_back({fp.gPos - 1, EV_DEL, fp.aln2});
+        else walk_aln(c, fp.aln1, fp.aln2, fp.gPos, evs);
+      }
+    } else {
+      for (auto& fp : frags) {
+        if (fp.simple) {
+          i32 rp = fp.rPos;
+          i64 gp = c.two_l - 1 - fp.gPos;
+          for (i32 j = 0; j < fp.rLen; j++, rp++, gp--) {
+            unsigned char b = NT4[(unsigned char)rd.seq[rp]];
+            if (b < 4) bump_base(c, gp, 3 - b);
+          }
+        } else if (fp.gLen == 0) evs.push_back({c.two_l - fp.gPos - 1, EV_INS, fp.aln1});
+        else if (fp.rLen == 0) evs.push_back({c.two_l - fp.gPos - fp.gLen - 1, EV_DEL, fp.aln2});
+        else walk_aln(c, fp.aln1, fp.aln2, c.two_l - (fp.gPos + fp.gLen), evs);
+      }
+    }
+  }
+}
+
+static void update_multi_hit(Ctx& c, Read& rd) {
+  for (auto& can : rd.cans) {
+    if (can.score > 0) {
+      i64 g, ge;
+      if (can.orientation) {
+        g = can.frags.front().gPos;
+        ge = can.frags.back().gPos + can.frags.back().gLen;
+      } else {
+        g = c.two_l - (can.frags.front().gPos + can.frags.front().gLen);
+        ge = c.two_l - can.frags.back().gPos;
+      }
+      if (g < 0) g = 0;
+      if (ge > c.L) ge = c.L;
+      for (; g < ge; g++) if (c.multi_hit[g] < MAX_ALLELE) c.multi_hit[g]++;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// chunk driver (ref: ReadMapping.cpp:416-646; pipeline/engine.py)
+// ---------------------------------------------------------------------------
+static const i64 MIN_INV = 1000, MAX_INV = 10000000, MIN_TNL = 1000;
+
+struct ChunkOut {
+  i64 mapped_num = 0, paired_num = 0, dist_sum = 0, rlen_sum = 0;
+  vector<std::pair<i64, i64>> inv_sites, tnl_sites;  // (gpos, dist)
+  vector<Event> events;
+  string sam;
+};
+
+static void build_read(const Ctx& c, Read& rd,
+                       const i32* seed_rpos, const i64* seed_gpos,
+                       const i32* seed_len, i32 n_seeds) {
+  vector<FragPair> sp;
+  sp.reserve(n_seeds + 1);
+  for (i32 i = 0; i < n_seeds; i++) {
+    FragPair fp;
+    fp.simple = true;
+    fp.rPos = seed_rpos[i];
+    fp.gPos = seed_gpos[i];
+    fp.rLen = fp.gLen = seed_len[i];
+    fp.PosDiff = fp.gPos - fp.rPos;
+    sp.push_back(std::move(fp));
+  }
+  std::stable_sort(sp.begin(), sp.end(), [](const FragPair& a, const FragPair& b) {
+    if (a.PosDiff == b.PosDiff) return a.rPos < b.rPos;
+    return a.PosDiff < b.PosDiff;
+  });
+  FragPair sent;
+  sent.simple = true;
+  sent.rPos = 0; sent.rLen = sent.gLen = 0;
+  sent.gPos = sent.PosDiff = c.two_l;
+  sp.push_back(std::move(sent));
+  rd.cans = simple_pair_clustering(c, rd.rlen, sp);
+}
+
+extern "C" {
+
+void* mc_create(const char* refseq, i64 genome_size,
+                const i64* bkeys, const i32* bchrom, i32 n_boundaries,
+                const char* chrom_names_concat, const i64* chrom_lens,
+                const i64* chrom_fwd_locs, i32 n_chroms) {
+  Ctx* c = new Ctx();
+  c->ref = refseq;
+  c->L = genome_size;
+  c->two_l = genome_size * 2;
+  c->bkeys.assign(bkeys, bkeys + n_boundaries);
+  c->bchrom.assign(bchrom, bchrom + n_boundaries);
+  const char* p = chrom_names_concat;
+  for (i32 i = 0; i < n_chroms; i++) {
+    Chrom ch;
+    ch.name = p;
+    p += ch.name.size() + 1;
+    ch.len = chrom_lens[i];
+    ch.fwd_loc = chrom_fwd_locs[i];
+    c->chroms.push_back(std::move(ch));
+  }
+  return c;
+}
+
+void mc_destroy(void* ctx) { delete (Ctx*)ctx; }
+
+void mc_set_profile(void* ctx, i32* a, i32* cc, i32* g, i32* t, i32* multi,
+                    i32* rc, i32* f1, i32* r2, i32* f2, i32* r1) {
+  Ctx* c = (Ctx*)ctx;
+  c->acgt[0] = a; c->acgt[1] = cc; c->acgt[2] = g; c->acgt[3] = t;
+  c->multi_hit = multi; c->read_count = rc;
+  c->F1 = f1; c->R2 = r2; c->F2 = f2; c->R1 = r1;
+}
+
+void mc_configure(void* ctx, i32 max_pos_diff, double max_mismatch_rate,
+                  i32 max_clip_size, i32 max_duplicate, i32 use_nw,
+                  i32 unique_only, i32 vcf_output, i32 sam_output, i32 fastq) {
+  Ctx* c = (Ctx*)ctx;
+  c->max_pos_diff = max_pos_diff;
+  c->max_mismatch_rate = max_mismatch_rate;
+  c->max_clip_size = max_clip_size;
+  c->max_duplicate = max_duplicate;
+  c->use_nw = use_nw != 0;
+  c->unique_only = unique_only != 0;
+  c->vcf_output = vcf_output != 0;
+  c->sam_output = sam_output != 0;
+  c->fastq = fastq != 0;
+}
+
+// Serialized outputs: the caller provides growable buffers through two
+// calls — first mc_process returns sizes, then mc_fetch copies them out.
+static thread_local ChunkOut g_out;
+static thread_local vector<string> g_seq_store;
+
+// seqs / quals / headers: concatenated NUL-terminated strings.
+// seeds: flat arrays with per-read counts. pair_end != 0 => (even idx =
+// mate1, odd = mate2, mate2 seq ALREADY revcomped by caller).
+void mc_process_chunk(void* ctx, i32 n_reads, i32 pair_end,
+                      const char* seqs, const char* quals, const char* headers,
+                      const i32* rlens, const i32* seed_counts,
+                      const i32* seed_rpos, const i64* seed_gpos,
+                      const i32* seed_len, i64 avg_dist,
+                      i64* out_sizes /*[8]*/) {
+  Ctx& c = *(Ctx*)ctx;
+  ChunkOut& o = g_out;
+  o = ChunkOut();
+  vector<Read> reads(n_reads);
+  {
+    const char* sp = seqs;
+    const char* qp = quals;
+    const char* hp = headers;
+    i64 soff = 0;
+    for (i32 i = 0; i < n_reads; i++) {
+      reads[i].seq = sp; sp += rlens[i] + 1;
+      reads[i].qual = qp; qp += strlen(qp) + 1;
+      reads[i].header = hp; hp += strlen(hp) + 1;
+      reads[i].rlen = rlens[i];
+      i32 ns = seed_counts[i];
+      build_read(c, reads[i], seed_rpos + soff, seed_gpos + soff,
+                 seed_len + soff, ns);
+      soff += ns;
+    }
+  }
+  if (pair_end && n_reads % 2 == 0) {
+    for (i32 i = 0; i + 1 < n_reads; i += 2) {
+      Read& r1 = reads[i];
+      Read& r2 = reads[i + 1];
+      for (auto& can : r1.cans) can.paired_idx = -1;
+      for (auto& can : r2.cans) can.paired_idx = -1;
+      i64 est = (i64)(avg_dist * 1.5);
+      int n = check_paired_distance(est, r1.cans, r2.cans);
+      if (n == 0) n = alignment_rescue(c, est, r1, r2);
+      if (n == 0) { remove_redundant(r1.cans); remove_redundant(r2.cans); }
+      else mask_unpaired(r1.cans, r2.cans);
+      if (produce_read_alignment(c, r1)) o.mapped_num++;
+      if (produce_read_alignment(c, r2)) o.mapped_num++;
+      CoorPair cp = gen_coordinate_pair(r1.cans, r2.cans);
+      if (cp.dist != 0 && cp.g1 != -1 && cp.g2 != -1) {
+        if (cp.g1 < c.L && cp.g2 >= c.L) {
+          if (c.vcf_output) {
+            i64 d = llabs(c.two_l - cp.g1 - cp.g2);
+            if (d > MIN_INV && d < MAX_INV) {
+              c.discord_gpos = cp.g1;
+              o.inv_sites.push_back({c.discord_gpos, d});
+            }
+          }
+        } else if (cp.g1 >= c.L && cp.g2 < c.L) {
+          if (c.vcf_output) {
+            i64 d = llabs(c.two_l - cp.g1 - cp.g2);
+            if (d > MIN_INV && d < MAX_INV) c.discord_gpos = cp.g2;
+            // brace bug (ref: ReadMapping.cpp:502): push regardless
+            o.inv_sites.push_back({c.discord_gpos, d});
+          }
+        } else if (cp.dist > MIN_TNL) {
+          if (c.vcf_output) {
+            if (cp.g1 < c.L && cp.g2 < c.L) {
+              o.tnl_sites.push_back({cp.g1, cp.dist});
+              o.tnl_sites.push_back({cp.g2, cp.dist});
+              c.discord_gpos = cp.g2;
+            } else if (cp.g1 >= c.L && cp.g2 >= c.L) {
+              o.tnl_sites.push_back({c.two_l - cp.g1, cp.dist});
+              o.tnl_sites.push_back({c.two_l - cp.g2, cp.dist});
+              c.discord_gpos = c.two_l - cp.g2;
+            }
+          }
+        } else {
+          o.rlen_sum += r1.rlen + r2.rlen;
+          o.paired_num++;
+          o.dist_sum += cp.dist;
+        }
+      }
+    }
+    if (c.sam_output)
+      for (i32 i = 0; i + 1 < n_reads; i += 2)
+        append_sam_paired(c, reads[i], reads[i + 1], o.sam);
+    if (c.vcf_output) {
+      for (i32 i = 0; i < n_reads; i++) {
+        Read& rd = reads[i];
+        if (rd.score == 0) continue;
+        if (check_aln_number(rd.cans) == 1)
+          update_profile(c, i % 2 == 0, rd, o.events);
+        else update_multi_hit(c, rd);
+      }
+    }
+  } else {
+    for (i32 i = 0; i < n_reads; i++) {
+      Read& rd = reads[i];
+      remove_redundant(rd.cans);
+      if (produce_read_alignment(c, rd)) o.mapped_num++;
+    }
+    if (c.sam_output)
+      for (i32 i = 0; i < n_reads; i++) append_sam_single(c, reads[i], o.sam);
+    if (c.vcf_output) {
+      for (i32 i = 0; i < n_reads; i++) {
+        Read& rd = reads[i];
+        if (rd.score == 0) continue;
+        if (check_aln_number(rd.cans) == 1) update_profile(c, true, rd, o.events);
+        else update_multi_hit(c, rd);
+      }
+    }
+  }
+  out_sizes[0] = o.mapped_num;
+  out_sizes[1] = o.paired_num;
+  out_sizes[2] = o.dist_sum;
+  out_sizes[3] = o.rlen_sum;
+  out_sizes[4] = (i64)o.sam.size();
+  out_sizes[5] = (i64)o.events.size();
+  out_sizes[6] = (i64)o.inv_sites.size();
+  out_sizes[7] = (i64)o.tnl_sites.size();
+}
+
+// copy out SAM text + events + discord sites from the last mc_process_chunk
+void mc_fetch(void* ctx, char* sam_buf, i64* ev_gpos, i32* ev_kind,
+              i32* ev_seq_len, char* ev_seq_concat,
+              i64* inv_gpos, i64* inv_dist, i64* tnl_gpos, i64* tnl_dist) {
+  ChunkOut& o = g_out;
+  memcpy(sam_buf, o.sam.data(), o.sam.size());
+  char* sp = ev_seq_concat;
+  for (size_t i = 0; i < o.events.size(); i++) {
+    ev_gpos[i] = o.events[i].gpos;
+    ev_kind[i] = o.events[i].kind;
+    ev_seq_len[i] = (i32)o.events[i].seq.size();
+    memcpy(sp, o.events[i].seq.data(), o.events[i].seq.size());
+    sp += o.events[i].seq.size();
+  }
+  for (size_t i = 0; i < o.inv_sites.size(); i++) {
+    inv_gpos[i] = o.inv_sites[i].first;
+    inv_dist[i] = o.inv_sites[i].second;
+  }
+  for (size_t i = 0; i < o.tnl_sites.size(); i++) {
+    tnl_gpos[i] = o.tnl_sites[i].first;
+    tnl_dist[i] = o.tnl_sites[i].second;
+  }
+}
+
+i64 mc_event_seq_total(void* ctx) {
+  i64 t = 0;
+  for (auto& e : g_out.events) t += (i64)e.seq.size();
+  return t;
+}
+
+// standalone aligner entries (for tests)
+void mc_nw(const char* s1, const char* s2, char* o1, char* o2) {
+  string a1 = s1, a2 = s2;
+  nw_align(a1, a2);
+  strcpy(o1, a1.c_str());
+  strcpy(o2, a2.c_str());
+}
+
+void mc_ksw2(const char* s1, const char* s2, char* o1, char* o2) {
+  string a1 = s1, a2 = s2;
+  ksw2_align(a1, a2);
+  strcpy(o1, a1.c_str());
+  strcpy(o2, a2.c_str());
+}
+
+}  // extern "C"
