@@ -72,10 +72,15 @@ def make_engine(idx: FMIndex, cfg: Config):
 
 def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
     sam_fh = None
-    out_path = cfg.sam_file or cfg.bam_file
-    if out_path:
+    bam_writer = None
+    headers = sam_headers(engine.genome, VERSION_STR)
+    if cfg.bam_file:
+        from .io.bam import BamWriter
+        bam_writer = BamWriter(cfg.bam_file, engine.genome, headers)
+    elif cfg.sam_file:
+        out_path = cfg.sam_file
         sam_fh = sys.stdout if out_path == "-" else open(out_path, "w")
-        for line in sam_headers(engine.genome, VERSION_STR):
+        for line in headers:
             sam_fh.write(line + "\n")
 
     n_lib = len(cfg.read_files1)
@@ -98,6 +103,9 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
                 if sam_fh:
                     for line in sam_lines:
                         sam_fh.write(line + "\n")
+                elif bam_writer:
+                    for line in sam_lines:
+                        bam_writer.write_sam_line(line)
             sys.stderr.write(f"\r{engine.stats.total_reads} "
                              f"{'paired-end' if pair_end else 'singled-end'} reads processed "
                              f"in {int(time.time() - t_start)} seconds...")
@@ -127,6 +135,8 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
     sys.stderr.write("\n")
     if sam_fh and sam_fh is not sys.stdout:
         sam_fh.close()
+    if bam_writer:
+        bam_writer.close()
     engine.finalize()
     st = engine.stats
     _log(cfg, f"All the {st.total_reads} reads have been processed in "
