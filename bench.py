@@ -79,22 +79,35 @@ def main():
     t0 = time.time()
     buffered = []
     buffered_n = 0
+    pending = None   # 1-deep pipeline: device seeds batch k+1 while the
+                     # host post-processes batch k (same as runner.py)
 
-    def flush():
-        flat = [rd for c in buffered for rd in c]
-        engine.preseed(flat, True)
-        for c in buffered:
+    def submit(buf):
+        flat = [rd for c in buf for rd in c]
+        return (buf, engine.preseed_submit(flat, True))
+
+    def process(buf, token):
+        engine.preseed_wait(token)
+        for c in buf:
             engine.process_chunk(c, True)
 
     for ch in chunks:
         buffered.append([ReadState(r.header, r.seq, r.qual) for r in ch])
         buffered_n += len(ch)
         if buffered_n >= cfg.batch_size:
-            flush()
+            token = submit(buffered)
+            if pending is not None:
+                process(*pending)
+            pending = (token[0], token[1])
             buffered = []
             buffered_n = 0
     if buffered:
-        flush()
+        token = submit(buffered)
+        if pending is not None:
+            process(*pending)
+        pending = (token[0], token[1])
+    if pending is not None:
+        process(*pending)
     engine.finalize()
     map_time = time.time() - t0
 

@@ -47,13 +47,10 @@ class Variant:
 
 def cal_block_read_depth(profile: Profile, genome_size: int) -> np.ndarray:
     """Mean depth per 100-bp block (ref: VariantCalling.cpp:106-120)."""
-    cov = profile.acgt.sum(axis=0, dtype=np.int64)
-    n_blocks = genome_size // BLOCK_SIZE + (1 if genome_size % BLOCK_SIZE else 0)
-    pad = n_blocks * BLOCK_SIZE - genome_size
-    padded = np.concatenate([cov, np.zeros(pad, dtype=np.int64)])
-    sums = padded.reshape(n_blocks, BLOCK_SIZE).sum(axis=1)
-    out = np.where(sums > 0, sums // BLOCK_SIZE, 0).astype(np.int64)
-    return out
+    cov = profile.acgt.sum(axis=0, dtype=np.int32)
+    # per-pos cov <= 4*4095 and blocks are 100 wide, so int32 block sums
+    sums = np.add.reduceat(cov, np.arange(0, genome_size, BLOCK_SIZE))
+    return np.where(sums > 0, sums // BLOCK_SIZE, 0).astype(np.int64)
 
 
 def get_area_ind_frequency(g_pos: int, ind_map: Dict[int, Dict[str, int]],
@@ -111,10 +108,140 @@ def determine_genotype(ploidy: int, cov: int, alt_read_count: int, alt_num: int)
 def identify_variants(cfg: Config, genome: Genome, profile: Profile,
                       ref_codes: np.ndarray, block_depth: np.ndarray
                       ) -> List[Variant]:
-    """The genome scan (ref: VariantCalling.cpp:550-680). Kept
-    deliberately single-pass/sequential like the reference (which
-    hard-sets iThreadNum=1, cpp:717) because the gap/dup run-length
-    logic carries state."""
+    """The genome scan (ref: VariantCalling.cpp:550-680).
+
+    Default modes run the fully vectorized scan (record emission is
+    sparse, so candidate discovery is pure array math and only actual
+    records go through Python). gVCF/monomorphic modes keep the scalar
+    mirror because every covered position can emit a record there and
+    the NOR-block logic carries per-position state."""
+    if cfg.gvcf or cfg.monomorphic:
+        return _identify_variants_scalar(cfg, genome, profile, ref_codes,
+                                         block_depth)
+    return _identify_variants_vec(cfg, genome, profile, ref_codes,
+                                  block_depth)
+
+
+def _identify_variants_vec(cfg: Config, genome: Genome, profile: Profile,
+                           ref_codes: np.ndarray, block_depth: np.ndarray
+                           ) -> List[Variant]:
+    """Vectorized genome scan, bit-equivalent to the scalar mirror for
+    non-gVCF/monomorphic modes (property-tested against it)."""
+    out: List[Variant] = []
+    L = genome.genome_size
+    acgt = profile.acgt                       # int32[4, L]
+    cov = acgt.sum(axis=0, dtype=np.int32)    # per-pos <= 4*4095
+    multi = profile.multi_hit
+    freq_base = 0.01 if cfg.somatic else cfg.frequency_thr
+    ad = np.int32(cfg.min_allele_depth)
+
+    # --- SUB candidates (ref: cpp:599-630) ------------------------------
+    bd32 = block_depth.astype(np.int32)
+    if cfg.somatic:
+        cov_thr = np.full(L, ad, dtype=np.int32)
+    else:
+        cov_thr = np.maximum(np.repeat(bd32 >> 1, BLOCK_SIZE)[:L], ad)
+    freq_thr = np.maximum(
+        np.ceil(cov.astype(np.float64) * freq_base).astype(np.int32), ad)
+    rc = ref_codes[:L].astype(np.int32)
+    covered = cov >= cov_thr
+    qual = np.zeros((4, L), dtype=bool)       # base qualifies as ALT
+    for c in range(4):
+        qual[c] = covered & (acgt[c] >= freq_thr) & (rc != c)
+    n_alt = qual.sum(axis=0, dtype=np.int32)
+    # first/second qualifying base in ACGT order (scalar builds vec in
+    # base order and uses vec[0], vec[1])
+    first = np.argmax(qual, axis=0).astype(np.int32)
+    qual2 = qual.copy()
+    np.put_along_axis(qual2, first[None, :], False, axis=0)
+    second = np.argmax(qual2, axis=0).astype(np.int32)
+    cnt1 = np.take_along_axis(acgt, first[None, :], axis=0)[0]
+    cnt2 = np.take_along_axis(acgt, second[None, :], axis=0)[0]
+    is1 = n_alt == 1
+    is2 = (n_alt == 2) & ((cnt1 + cnt2) >= (cov // 2))
+    sub_idx = np.nonzero(is1 | is2)[0]
+    for g in sub_idx.tolist():
+        cv = int(cov[g])
+        rb = int(rc[g])
+        ad_ref = int(acgt[rb, g]) if rb < 4 else 0
+        if is1[g]:
+            alt_cnt = int(cnt1[g])
+            alt_str = "ACGT"[int(first[g])]
+            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 1)
+        else:
+            alt_cnt = int(cnt1[g]) + int(cnt2[g])
+            alt_str = f"{'ACGT'[int(first[g])]},{'ACGT'[int(second[g])]}"
+            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 2)
+        if gt == 0:
+            continue
+        v = Variant(g, VAR_SUB, DP=cv, AD_alt=alt_cnt, AD_ref=ad_ref,
+                    GenoType=gt, ALTstr=alt_str)
+        v.qscore = (int(35.0 * alt_cnt / (cv * 0.05)) if cfg.somatic
+                    else int(35.0 * alt_cnt / cv)) & 0xFF
+        out.append(v)
+
+    # --- INS/DEL (ref: cpp:576-597) --------------------------------------
+    # GetAreaIndFrequency returns nonzero only when g_pos is itself the
+    # dominant key of its +-5 window, so only map keys can emit records.
+    for var_type, ind_map in ((VAR_INS, profile.insert_map),
+                              (VAR_DEL, profile.delete_map)):
+        keys = sorted(ind_map.keys())
+        ratio = 0.25 if var_type == VAR_INS else 0.35
+        for g in keys:
+            if not (0 <= g < L):
+                continue
+            freq, ind_str = get_area_ind_frequency(g, ind_map, keys)
+            c_thr = int(block_depth[g // BLOCK_SIZE]) >> 1
+            if c_thr < cfg.min_allele_depth:
+                c_thr = cfg.min_allele_depth
+            if cfg.somatic and c_thr > cfg.min_allele_depth:
+                c_thr = cfg.min_allele_depth
+            thr = int(c_thr * ratio)
+            if thr < cfg.min_allele_depth:
+                thr = cfg.min_allele_depth
+            if freq < thr:
+                continue
+            v = Variant(g, var_type)
+            v.DP = int(block_depth[g // BLOCK_SIZE])
+            v.AD_alt = freq
+            if v.DP < v.AD_alt:
+                v.DP = v.AD_alt
+            v.ALTstr = ind_str
+            v.AD_ref = v.DP - v.AD_alt
+            v.GenoType = determine_genotype(cfg.ploidy, v.DP, v.AD_alt, 1)
+            cv = int(cov[g])
+            v.qscore = (int(100.0 * v.AD_alt / cv) & 0xFF) if cv > 0 else 0
+            out.append(v)
+
+    # --- UMR / CNV run-lengths (ref: cpp:632-651) -------------------------
+    # gap counts maximal runs of (cov==0 & multi==0); dup counts maximal
+    # runs of (cov==0 & multi>0); each is flushed by ANY other state. A
+    # run still open when the scan hits GenomeSize is never flushed.
+    state = np.where(cov > 0, 2, np.where(multi > 0, 1, 0)).astype(np.int8)
+    changes = np.nonzero(np.diff(state))[0] + 1
+    starts = np.concatenate([[0], changes])
+    ends = np.concatenate([changes, [L]])
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if e >= L:
+            break  # trailing run is never flushed
+        length = e - s
+        st = int(state[s])
+        if st == 0 and length >= cfg.min_unmapped_size:
+            out.append(Variant(s, VAR_UMR, DP=length & 0xFFFF))
+        elif st == 1 and length > cfg.min_cnv_size:
+            out.append(Variant(s, VAR_CNV, DP=length & 0xFFFF))
+
+    out.sort(key=lambda v: (v.gPos, v.VarType))
+    return out
+
+
+def _identify_variants_scalar(cfg: Config, genome: Genome, profile: Profile,
+                              ref_codes: np.ndarray, block_depth: np.ndarray
+                              ) -> List[Variant]:
+    """Scalar mirror of the reference loop, kept for gVCF/monomorphic
+    modes and as the oracle for the vectorized scan. Sequential like the
+    reference (which hard-sets iThreadNum=1, cpp:717) because the
+    gap/dup run-length logic carries state."""
     out: List[Variant] = []
     L = genome.genome_size
     acgt = profile.acgt
@@ -140,10 +267,11 @@ def identify_variants(cfg: Config, genome: Genome, profile: Profile,
             cov_thr_v = np.full(L, cfg.min_allele_depth, dtype=np.int64)
         freq_thr_v = np.maximum(np.ceil(cov_all * freq_base).astype(np.int64),
                                 cfg.min_allele_depth)
-        masked = acgt.astype(np.int64).copy()
-        rc = np.minimum(ref_codes[:L], 3).astype(np.int64)
-        np.put_along_axis(masked, rc[None, :], -1, axis=0)
-        nonref_max = masked.max(axis=0)
+        rc = ref_codes[:L].astype(np.int32)
+        nonref_max = np.full(L, -1, dtype=np.int32)
+        for c in range(4):
+            np.maximum(nonref_max, np.where(rc == c, -1, acgt[c]),
+                       out=nonref_max)
         interesting = (cov_all >= cov_thr_v) & (nonref_max >= freq_thr_v)
         for k in ins_keys + del_keys:
             lo = max(0, k - 5)
