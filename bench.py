@@ -62,52 +62,32 @@ def main():
     cfg = Config(vcf_file=f"{BENCH_DIR}/out.vcf", log_file=f"{BENCH_DIR}/job.log",
                  batch_size=8192, max_read_len=128)
     engine = make_engine(idx, cfg)
+    assert engine.backend is not None and engine.native is not None
 
-    # load the first N_READS reads
-    chunks = []
-    n = 0
-    for ch in iter_chunks(f"{BENCH_DIR}/er1.fq", f"{BENCH_DIR}/er2.fq"):
-        chunks.append(ch)
-        n += len(ch)
-        if n >= N_READS:
-            break
+    # subset files with the first N_READS reads (pairs)
+    sub1, sub2 = f"{BENCH_DIR}/sub_r1.fq", f"{BENCH_DIR}/sub_r2.fq"
+    if not os.path.exists(sub1):
+        for src, dst in ((f"{BENCH_DIR}/er1.fq", sub1),
+                         (f"{BENCH_DIR}/er2.fq", sub2)):
+            with open(src) as fi, open(dst, "w") as fo:
+                for i, line in enumerate(fi):
+                    if i >= 4 * (N_READS // 2):
+                        break
+                    fo.write(line)
 
     # warm up / compile on a tiny prefix (excluded from timing)
-    warm = [ReadState(r.header, r.seq, r.qual) for r in chunks[0]]
+    from mapcaller_tpu.pipeline.read import ReadState as _RS
+    warm = []
+    for ch in iter_chunks(sub1, sub2):
+        warm = [_RS(r.header, r.seq, r.qual) for r in ch]
+        break
     engine.preseed(warm, True)
 
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    cfg.read_files1 = [sub1]
+    cfg.read_files2 = [sub2]
     t0 = time.time()
-    buffered = []
-    buffered_n = 0
-    pending = None   # 1-deep pipeline: device seeds batch k+1 while the
-                     # host post-processes batch k (same as runner.py)
-
-    def submit(buf):
-        flat = [rd for c in buf for rd in c]
-        return (buf, engine.preseed_submit(flat, True))
-
-    def process(buf, token):
-        engine.preseed_wait(token)
-        for c in buf:
-            engine.process_chunk(c, True)
-
-    for ch in chunks:
-        buffered.append([ReadState(r.header, r.seq, r.qual) for r in ch])
-        buffered_n += len(ch)
-        if buffered_n >= cfg.batch_size:
-            token = submit(buffered)
-            if pending is not None:
-                process(*pending)
-            pending = (token[0], token[1])
-            buffered = []
-            buffered_n = 0
-    if buffered:
-        token = submit(buffered)
-        if pending is not None:
-            process(*pending)
-        pending = (token[0], token[1])
-    if pending is not None:
-        process(*pending)
+    run_stream_mapping(engine, cfg, t0)
     engine.finalize()
     map_time = time.time() - t0
 

@@ -136,18 +136,23 @@ def _identify_variants_vec(cfg: Config, genome: Genome, profile: Profile,
     ad = np.int32(cfg.min_allele_depth)
 
     # --- SUB candidates (ref: cpp:599-630) ------------------------------
+    # cov >= cov_thr is sparse at realistic depth/threshold ratios, so
+    # gather the covered columns once and do the allele math on those.
     bd32 = block_depth.astype(np.int32)
     if cfg.somatic:
         cov_thr = np.full(L, ad, dtype=np.int32)
     else:
         cov_thr = np.maximum(np.repeat(bd32 >> 1, BLOCK_SIZE)[:L], ad)
+    rc = ref_codes[:L]
+    cand = np.nonzero(cov >= cov_thr)[0]
+    acgt_k = acgt[:, cand]                    # [4, K]
+    cov_k = cov[cand]
+    rc_k = rc[cand].astype(np.int32)
     freq_thr = np.maximum(
-        np.ceil(cov.astype(np.float64) * freq_base).astype(np.int32), ad)
-    rc = ref_codes[:L].astype(np.int32)
-    covered = cov >= cov_thr
-    qual = np.zeros((4, L), dtype=bool)       # base qualifies as ALT
+        np.ceil(cov_k.astype(np.float64) * freq_base).astype(np.int32), ad)
+    qual = np.empty((4, cand.size), dtype=bool)   # base qualifies as ALT
     for c in range(4):
-        qual[c] = covered & (acgt[c] >= freq_thr) & (rc != c)
+        qual[c] = (acgt_k[c] >= freq_thr) & (rc_k != c)
     n_alt = qual.sum(axis=0, dtype=np.int32)
     # first/second qualifying base in ACGT order (scalar builds vec in
     # base order and uses vec[0], vec[1])
@@ -155,30 +160,38 @@ def _identify_variants_vec(cfg: Config, genome: Genome, profile: Profile,
     qual2 = qual.copy()
     np.put_along_axis(qual2, first[None, :], False, axis=0)
     second = np.argmax(qual2, axis=0).astype(np.int32)
-    cnt1 = np.take_along_axis(acgt, first[None, :], axis=0)[0]
-    cnt2 = np.take_along_axis(acgt, second[None, :], axis=0)[0]
+    cnt1 = np.take_along_axis(acgt_k, first[None, :], axis=0)[0]
+    cnt2 = np.take_along_axis(acgt_k, second[None, :], axis=0)[0]
     is1 = n_alt == 1
-    is2 = (n_alt == 2) & ((cnt1 + cnt2) >= (cov // 2))
-    sub_idx = np.nonzero(is1 | is2)[0]
-    for g in sub_idx.tolist():
-        cv = int(cov[g])
-        rb = int(rc[g])
-        ad_ref = int(acgt[rb, g]) if rb < 4 else 0
-        if is1[g]:
-            alt_cnt = int(cnt1[g])
-            alt_str = "ACGT"[int(first[g])]
-            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 1)
-        else:
-            alt_cnt = int(cnt1[g]) + int(cnt2[g])
-            alt_str = f"{'ACGT'[int(first[g])]},{'ACGT'[int(second[g])]}"
-            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 2)
-        if gt == 0:
-            continue
-        v = Variant(g, VAR_SUB, DP=cv, AD_alt=alt_cnt, AD_ref=ad_ref,
-                    GenoType=gt, ALTstr=alt_str)
-        v.qscore = (int(35.0 * alt_cnt / (cv * 0.05)) if cfg.somatic
-                    else int(35.0 * alt_cnt / cv)) & 0xFF
-        out.append(v)
+    is2 = (n_alt == 2) & ((cnt1 + cnt2) >= (cov_k // 2))
+    sub_k = np.nonzero(is1 | is2)[0]
+    if sub_k.size:
+        rb_s = rc_k[sub_k]
+        ad_ref_s = np.where(
+            rb_s < 4,
+            np.take_along_axis(acgt_k[:, sub_k],
+                               np.minimum(rb_s, 3)[None, :], axis=0)[0],
+            0)
+        rows = zip(cand[sub_k].tolist(), cov_k[sub_k].tolist(),
+                   is1[sub_k].tolist(), cnt1[sub_k].tolist(),
+                   cnt2[sub_k].tolist(), first[sub_k].tolist(),
+                   second[sub_k].tolist(), ad_ref_s.tolist())
+        for g, cv, one, c1, c2, b1, b2, ad_ref in rows:
+            if one:
+                alt_cnt = c1
+                alt_str = "ACGT"[b1]
+                gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 1)
+            else:
+                alt_cnt = c1 + c2
+                alt_str = f"{'ACGT'[b1]},{'ACGT'[b2]}"
+                gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 2)
+            if gt == 0:
+                continue
+            v = Variant(g, VAR_SUB, DP=cv, AD_alt=alt_cnt, AD_ref=ad_ref,
+                        GenoType=gt, ALTstr=alt_str)
+            v.qscore = (int(35.0 * alt_cnt / (cv * 0.05)) if cfg.somatic
+                        else int(35.0 * alt_cnt / cv)) & 0xFF
+            out.append(v)
 
     # --- INS/DEL (ref: cpp:576-597) --------------------------------------
     # GetAreaIndFrequency returns nonzero only when g_pos is itself the
@@ -221,15 +234,15 @@ def _identify_variants_vec(cfg: Config, genome: Genome, profile: Profile,
     changes = np.nonzero(np.diff(state))[0] + 1
     starts = np.concatenate([[0], changes])
     ends = np.concatenate([changes, [L]])
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        if e >= L:
-            break  # trailing run is never flushed
-        length = e - s
-        st = int(state[s])
-        if st == 0 and length >= cfg.min_unmapped_size:
-            out.append(Variant(s, VAR_UMR, DP=length & 0xFFFF))
-        elif st == 1 and length > cfg.min_cnv_size:
-            out.append(Variant(s, VAR_CNV, DP=length & 0xFFFF))
+    run_vals = state[starts]
+    run_lens = ends - starts
+    flushed = ends < L               # trailing run is never flushed
+    gap_m = flushed & (run_vals == 0) & (run_lens >= cfg.min_unmapped_size)
+    dup_m = flushed & (run_vals == 1) & (run_lens > cfg.min_cnv_size)
+    for s, ln in zip(starts[gap_m].tolist(), run_lens[gap_m].tolist()):
+        out.append(Variant(s, VAR_UMR, DP=ln & 0xFFFF))
+    for s, ln in zip(starts[dup_m].tolist(), run_lens[dup_m].tolist()):
+        out.append(Variant(s, VAR_CNV, DP=ln & 0xFFFF))
 
     out.sort(key=lambda v: (v.gPos, v.VarType))
     return out

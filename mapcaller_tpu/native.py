@@ -51,6 +51,18 @@ def load_lib():
         lib.mc_fetch.argtypes = [C.c_void_p] + [C.c_void_p] * 9
         lib.mc_event_seq_total.restype = C.c_int64
         lib.mc_event_seq_total.argtypes = [C.c_void_p]
+        lib.mc_set_input.argtypes = [C.c_void_p, C.c_char_p, C.c_int64,
+                                     C.c_char_p, C.c_int64, C.c_int32]
+        lib.mc_next_batch.restype = C.c_int32
+        lib.mc_next_batch.argtypes = [C.c_void_p, C.c_int32, C.c_int32,
+                                      C.c_void_p]
+        lib.mc_batch_codes.argtypes = [C.c_void_p, C.c_int32, C.c_void_p,
+                                       C.c_void_p, C.c_int32, C.c_int32]
+        lib.mc_read_seq.restype = C.c_int32
+        lib.mc_read_seq.argtypes = [C.c_void_p, C.c_int32, C.c_int32, C.c_char_p]
+        lib.mc_process_batch.argtypes = [
+            C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_void_p,
+            C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         _lib = lib
@@ -119,6 +131,53 @@ class NativeEngine:
         except Exception:
             pass
 
+    # -- stream API: native parsing + double-buffered batches -------------
+    def set_input(self, buf1: bytes, buf2: Optional[bytes],
+                  pair_interleaved: bool) -> None:
+        """Hand raw (decompressed) read-file bytes to the native parser.
+        Keeps references so the borrowed buffers stay alive."""
+        self._buf1, self._buf2 = buf1, buf2
+        self.lib.mc_set_input(self.ctx, buf1, len(buf1),
+                              buf2, len(buf2) if buf2 is not None else 0,
+                              int(pair_interleaved))
+
+    def next_batch(self, slot: int, max_reads: int) -> Tuple[int, int]:
+        """Parse the next batch into a slot; -> (n_reads, max_rlen)."""
+        maxlen = np.zeros(1, dtype=np.int32)
+        n = self.lib.mc_next_batch(self.ctx, slot, max_reads, _ptr(maxlen))
+        return n, int(maxlen[0])
+
+    def batch_codes(self, slot: int, bucket: int, cap: int):
+        codes = np.empty((cap, bucket), dtype=np.uint8)
+        rlens = np.empty(cap, dtype=np.int32)
+        self.lib.mc_batch_codes(self.ctx, slot, _ptr(codes), _ptr(rlens),
+                                bucket, cap)
+        return codes, rlens
+
+    def read_codes(self, slot: int, i: int) -> np.ndarray:
+        """Full codes of one read (too-long-for-bucket fallback)."""
+        buf = C.create_string_buffer(1 << 20)
+        n = self.lib.mc_read_seq(self.ctx, slot, i, buf)
+        from .dna import encode
+        return encode(buf.raw[:n].decode())
+
+    def process_batch(self, slot: int, pair_end: bool, fastq: bool,
+                      seed_counts: np.ndarray, seed_rpos: np.ndarray,
+                      seed_gpos: np.ndarray, seed_len: np.ndarray,
+                      stats_io: np.ndarray):
+        """Run the post-seeding pipeline over a parsed batch. stats_io
+        (int64[6]) carries running totals + avg_dist, updated in place
+        per 200-read sub-chunk. Returns (sam_text, stats dict)."""
+        sizes = np.zeros(8, dtype=np.int64)
+        self.lib.mc_process_batch(
+            self.ctx, slot, int(pair_end), int(fastq),
+            _ptr(np.ascontiguousarray(seed_counts, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
+            _ptr(stats_io), _ptr(sizes))
+        return self._fetch(sizes)
+
     def process_chunk(self, reads, pair_end: bool, avg_dist: int,
                       seed_counts: np.ndarray, seed_rpos: np.ndarray,
                       seed_gpos: np.ndarray, seed_len: np.ndarray):
@@ -137,6 +196,9 @@ class NativeEngine:
             _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
             _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
             C.c_int64(avg_dist), _ptr(sizes))
+        return self._fetch(sizes)
+
+    def _fetch(self, sizes: np.ndarray):
         (mapped, paired, dist_sum, rlen_sum, sam_len, n_ev,
          n_inv, n_tnl) = (int(x) for x in sizes)
         sam_buf = C.create_string_buffer(max(sam_len, 1))

@@ -59,6 +59,66 @@ class DeviceBackend:
             out.extend(self._collect_one(item))
         return out
 
+    # -- flat matrix API (stream path: native parser provides the batch) --
+    def submit_matrix(self, codes: np.ndarray, rlens: np.ndarray, bucket: int):
+        """codes uint8[batch, bucket], rlens int32[batch] (negative length
+        = read too long for the bucket -> per-read fallback). Async."""
+        kernel = self._kernel_for(bucket)
+        rl = np.maximum(rlens, 0)
+        dev = kernel.submit(jnp.asarray(codes), jnp.asarray(rl))
+        try:
+            dev.copy_to_host_async()   # D2H rides the tunnel during host work
+        except Exception:
+            pass
+        return (kernel, dev, rlens < 0)
+
+    def collect_flat(self, token, n: int, codes: np.ndarray,
+                     rlens: np.ndarray, read_codes_fn):
+        """-> (counts int32[n], rpos int32[], gpos int64[], slen int32[])
+        flat seed arrays grouped by read, PosDiff>0 filter applied.
+        Overflowed reads are recomputed with the host oracle."""
+        kernel, dev, too_long = token
+        (hit_read, hit_rpos, hit_len, hit_loc, hit_valid,
+         total, overflow, buf_ovf) = kernel.collect(dev)
+        if bool(buf_ovf):
+            fallback = np.ones(n, dtype=bool)
+        else:
+            fallback = (overflow[:n] | too_long[:n])
+        pd = hit_loc.astype(np.int64) - hit_rpos
+        keep = hit_valid & (pd > 0)
+        hr = hit_read[keep]
+        inb = hr < n
+        hr = hr[inb]
+        rp = hit_rpos[keep][inb].astype(np.int32)
+        gp = hit_loc[keep][inb].astype(np.int64)
+        ln = hit_len[keep][inb].astype(np.int32)
+        if fallback.any():
+            ok = ~fallback[hr]
+            hr, rp, gp, ln = hr[ok], rp[ok], gp[ok], ln[ok]
+            counts = np.bincount(hr, minlength=n)[:n].astype(np.int32)
+            # splice oracle seeds for fallback reads at their positions
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=bounds[1:])
+            rp_parts, gp_parts, ln_parts = [], [], []
+            prev = 0
+            for i in np.nonzero(fallback)[0].tolist():
+                s = int(bounds[i])
+                rp_parts.append(rp[prev:s]); gp_parts.append(gp[prev:s])
+                ln_parts.append(ln[prev:s])
+                c = (read_codes_fn(i) if too_long[i]
+                     else codes[i, :rlens[i]])
+                orp, ogp, oln = self._oracle_arrays(np.asarray(c, dtype=np.uint8))
+                rp_parts.append(orp); gp_parts.append(ogp); ln_parts.append(oln)
+                counts[i] = len(orp)
+                prev = s
+            rp_parts.append(rp[prev:]); gp_parts.append(gp[prev:])
+            ln_parts.append(ln[prev:])
+            rp = np.concatenate(rp_parts); gp = np.concatenate(gp_parts)
+            ln = np.concatenate(ln_parts)
+        else:
+            counts = np.bincount(hr, minlength=n)[:n].astype(np.int32)
+        return counts, rp, gp, ln
+
     def _oracle_arrays(self, c: np.ndarray) -> tuple:
         pairs = identify_simple_pairs(self.idx, c)[:-1]  # drop sentinel
         return (np.array([p.rPos for p in pairs], dtype=np.int32),
@@ -81,6 +141,10 @@ class DeviceBackend:
             rlens[i] = c.shape[0]
         kernel = self._kernel_for(bucket)
         dev = kernel.submit(jnp.asarray(codes), jnp.asarray(rlens))
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
         return (kernel, dev, chunk, fallback)
 
     def _collect_one(self, item) -> List[tuple]:

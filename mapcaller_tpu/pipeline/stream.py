@@ -1,0 +1,87 @@
+"""Stream mapping driver: native parsing + device seeding, double-buffered.
+
+The hot loop never materializes per-read Python objects: the C++ runtime
+parses FASTQ/FASTA batches (slot 0/1), hands the device a padded code
+matrix, and consumes the flat seed arrays the device returns. While the
+TPU seeds batch k+1, the host processes batch k (chain -> pair -> align
+-> SAM -> PFM), mirroring the reference's reader-thread/worker overlap
+(ref: ReadMapping.cpp:416-646).
+"""
+from __future__ import annotations
+
+import gzip
+import sys
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Config
+
+
+def _load_bytes(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with open(path, "rb") as f:
+            return gzip.decompress(f.read())
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def run_stream_mapping(engine, cfg: Config, t_start: float,
+                       sam_sink: Optional[Callable[[str], None]] = None) -> None:
+    """Requires engine.native and engine.backend. Updates engine.stats,
+    engine.profile (in place via C++), engine.inv_sites/tnl_sites."""
+    native = engine.native
+    be = engine.backend
+    stats_io = np.zeros(6, dtype=np.int64)
+    stats_io[5] = engine.stats.avg_dist
+
+    for lib in range(len(cfg.read_files1)):
+        f1 = cfg.read_files1[lib]
+        f2 = cfg.read_files2[lib] if lib < len(cfg.read_files2) else None
+        pair_end = f2 is not None or cfg.pair_interleaved
+        buf1 = _load_bytes(f1)
+        buf2 = _load_bytes(f2) if f2 is not None else None
+        fastq = buf1[:1] == b"@"
+        native.set_input(buf1, buf2, cfg.pair_interleaved)
+
+        slot = 0
+        pending = None   # (slot, n, token, codes, rlens)
+        while True:
+            n, maxlen = native.next_batch(slot, be.batch)
+            if n > 0:
+                bucket = next((b for b in be.BUCKETS
+                               if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
+                codes, rlens = native.batch_codes(slot, bucket, be.batch)
+                token = be.submit_matrix(codes, rlens, bucket)
+                cur = (slot, n, token, codes, rlens)
+            else:
+                cur = None
+            if pending is not None:
+                pslot, pn, ptoken, pcodes, prlens = pending
+                counts, rp, gp, ln = be.collect_flat(
+                    ptoken, pn, pcodes, prlens,
+                    lambda i, s=pslot: native.read_codes(s, i))
+                sam_text, st = native.process_batch(
+                    pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
+                engine.inv_sites.extend(st["inv"])
+                engine.tnl_sites.extend(st["tnl"])
+                if sam_sink is not None and sam_text:
+                    sam_sink(sam_text)
+                sys.stderr.write(
+                    f"\r{int(stats_io[0])} "
+                    f"{'paired-end' if pair_end else 'singled-end'} reads "
+                    f"processed in {int(time.time() - t_start)} seconds...")
+            pending = cur
+            if cur is None:
+                break
+            slot ^= 1
+
+    s = engine.stats
+    s.total_reads = int(stats_io[0])
+    s.total_mapped = int(stats_io[1])
+    s.total_paired = int(stats_io[2])
+    s.total_paired_distance = int(stats_io[3])
+    s.read_length_sum = int(stats_io[4])
+    s.avg_dist = int(stats_io[5])
+    sys.stderr.write("\n")

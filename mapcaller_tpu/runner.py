@@ -83,6 +83,22 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
         for line in headers:
             sam_fh.write(line + "\n")
 
+    if engine.native is not None and engine.backend is not None:
+        # fast path: native parsing/processing + device seeding, overlapped
+        from .pipeline.stream import run_stream_mapping
+
+        def sam_sink(text: str) -> None:
+            if sam_fh:
+                sam_fh.write(text)
+            elif bam_writer:
+                for line in text.splitlines():
+                    bam_writer.write_sam_line(line)
+
+        run_stream_mapping(engine, cfg, t_start,
+                           sam_sink if (sam_fh or bam_writer) else None)
+        _finish_mapping(engine, cfg, sam_fh, bam_writer, t_start)
+        return
+
     n_lib = len(cfg.read_files1)
     super_batch = max(cfg.batch_size, 1)
     for lib in range(n_lib):
@@ -133,6 +149,11 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
         if pending is not None:
             process(*pending)
     sys.stderr.write("\n")
+    _finish_mapping(engine, cfg, sam_fh, bam_writer, t_start)
+
+
+def _finish_mapping(engine: MappingEngine, cfg: Config, sam_fh, bam_writer,
+                    t_start: float) -> None:
     if sam_fh and sam_fh is not sys.stdout:
         sam_fh.close()
     if bam_writer:

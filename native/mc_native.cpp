@@ -1222,6 +1222,11 @@ void mc_configure(void* ctx, i32 max_pos_diff, double max_mismatch_rate,
 static thread_local ChunkOut g_out;
 static thread_local vector<string> g_seq_store;
 
+// Shared per-span pipeline (one 200-read chunk's worth of reads):
+// pairing / rescue / alignment / SAM / profile over reads[lo, hi).
+static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
+                         bool pair_end, i64 avg_dist, ChunkOut& o);
+
 // seqs / quals / headers: concatenated NUL-terminated strings.
 // seeds: flat arrays with per-read counts. pair_end != 0 => (even idx =
 // mate1, odd = mate2, mate2 seq ALREADY revcomped by caller).
@@ -1251,8 +1256,24 @@ void mc_process_chunk(void* ctx, i32 n_reads, i32 pair_end,
       soff += ns;
     }
   }
-  if (pair_end && n_reads % 2 == 0) {
-    for (i32 i = 0; i + 1 < n_reads; i += 2) {
+  process_span(c, reads, 0, n_reads, pair_end && n_reads % 2 == 0, avg_dist, o);
+  out_sizes[0] = o.mapped_num;
+  out_sizes[1] = o.paired_num;
+  out_sizes[2] = o.dist_sum;
+  out_sizes[3] = o.rlen_sum;
+  out_sizes[4] = (i64)o.sam.size();
+  out_sizes[5] = (i64)o.events.size();
+  out_sizes[6] = (i64)o.inv_sites.size();
+  out_sizes[7] = (i64)o.tnl_sites.size();
+}
+
+}  // extern "C"
+
+static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
+                         bool pair_end, i64 avg_dist, ChunkOut& o) {
+  i32 n_reads = hi;
+  if (pair_end) {
+    for (i32 i = lo; i + 1 < n_reads; i += 2) {
       Read& r1 = reads[i];
       Read& r2 = reads[i + 1];
       for (auto& can : r1.cans) can.paired_idx = -1;
@@ -1301,10 +1322,10 @@ void mc_process_chunk(void* ctx, i32 n_reads, i32 pair_end,
       }
     }
     if (c.sam_output)
-      for (i32 i = 0; i + 1 < n_reads; i += 2)
+      for (i32 i = lo; i + 1 < n_reads; i += 2)
         append_sam_paired(c, reads[i], reads[i + 1], o.sam);
     if (c.vcf_output) {
-      for (i32 i = 0; i < n_reads; i++) {
+      for (i32 i = lo; i < n_reads; i++) {
         Read& rd = reads[i];
         if (rd.score == 0) continue;
         if (check_aln_number(rd.cans) == 1)
@@ -1313,21 +1334,241 @@ void mc_process_chunk(void* ctx, i32 n_reads, i32 pair_end,
       }
     }
   } else {
-    for (i32 i = 0; i < n_reads; i++) {
+    for (i32 i = lo; i < n_reads; i++) {
       Read& rd = reads[i];
       remove_redundant(rd.cans);
       if (produce_read_alignment(c, rd)) o.mapped_num++;
     }
     if (c.sam_output)
-      for (i32 i = 0; i < n_reads; i++) append_sam_single(c, reads[i], o.sam);
+      for (i32 i = lo; i < n_reads; i++) append_sam_single(c, reads[i], o.sam);
     if (c.vcf_output) {
-      for (i32 i = 0; i < n_reads; i++) {
+      for (i32 i = lo; i < n_reads; i++) {
         Read& rd = reads[i];
         if (rd.score == 0) continue;
         if (check_aln_number(rd.cans) == 1) update_profile(c, true, rd, o.events);
         else update_multi_hit(c, rd);
       }
     }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// stream runtime: native FASTQ/FASTA parsing + double-buffered batch store
+// (replaces the Python per-read hot path; ref: GetData.cpp:22-145 parsing,
+//  tools.cpp:45-55 mate-2 revcomp, ReadMapping.cpp:434-448 chunk loop)
+// ---------------------------------------------------------------------------
+
+struct StreamRead {
+  string header, seq, qual;
+};
+
+struct Batch {
+  vector<StreamRead> reads;
+  i32 n = 0;
+};
+
+struct Input {
+  const char* buf = nullptr;
+  i64 len = 0;
+  i64 pos = 0;
+  bool fastq = true;
+};
+
+struct Stream {
+  Input in1, in2;
+  bool paired_files = false;
+  bool pair_interleaved = false;
+  Batch slot[2];
+};
+
+static thread_local Stream g_stream;
+
+// header trim (ref: GetData.cpp:3-20 / io/fastq.py _trim_header):
+// strip leading '@'/'>' run, cut at space / '/' / non-printable, <=100 chars
+static void trim_header(const char* s, i64 n, string& out) {
+  i64 i = 0;
+  while (i < n && (s[i] == '@' || s[i] == '>')) i++;
+  i64 j = i;
+  i64 limit = n < 100 ? n : 100;
+  while (j < limit) {
+    unsigned char ch = (unsigned char)s[j];
+    if (ch == ' ' || ch == '/' || ch < 0x21 || ch == 0x7f) break;
+    j++;
+  }
+  out.assign(s + i, j - i);
+}
+
+static inline i64 line_end(const Input& in, i64 p) {
+  const char* nl = (const char*)memchr(in.buf + p, '\n', in.len - p);
+  return nl ? nl - in.buf : in.len;
+}
+
+static inline i64 rstrip(const Input& in, i64 s, i64 e) {
+  while (e > s && (in.buf[e - 1] == '\r' || in.buf[e - 1] == '\n')) e--;
+  return e;
+}
+
+// parse one record; returns false at EOF / truncated record
+static bool parse_one(Input& in, StreamRead& rd) {
+  if (in.pos >= in.len) return false;
+  if (in.fastq) {
+    i64 h0 = in.pos, h1 = line_end(in, h0);
+    if (h1 >= in.len) return false;
+    i64 s0 = h1 + 1, s1 = line_end(in, s0);
+    i64 p0 = s1 < in.len ? s1 + 1 : in.len;
+    i64 p1 = p0 < in.len ? line_end(in, p0) : in.len;
+    i64 q0 = p1 < in.len ? p1 + 1 : in.len;
+    i64 q1 = q0 < in.len ? line_end(in, q0) : in.len;
+    in.pos = q1 < in.len ? q1 + 1 : in.len;
+    i64 se = rstrip(in, s0, s1);
+    if (se <= s0) return false;
+    trim_header(in.buf + h0, rstrip(in, h0, h1) - h0, rd.header);
+    rd.seq.assign(in.buf + s0, se - s0);
+    i64 qe = rstrip(in, q0, q1);
+    rd.qual.assign(in.buf + q0, qe - q0);
+    return true;
+  }
+  // FASTA: '>' header + sequence lines until next '>' (multi-line)
+  while (in.pos < in.len && in.buf[in.pos] != '>') in.pos = line_end(in, in.pos) + 1;
+  if (in.pos >= in.len) return false;
+  i64 h0 = in.pos, h1 = line_end(in, h0);
+  trim_header(in.buf + h0, rstrip(in, h0, h1) - h0, rd.header);
+  rd.seq.clear();
+  rd.qual.clear();
+  i64 p = h1 < in.len ? h1 + 1 : in.len;
+  while (p < in.len && in.buf[p] != '>') {
+    i64 e = line_end(in, p);
+    i64 ee = rstrip(in, p, e);
+    rd.seq.append(in.buf + p, ee - p);
+    p = e < in.len ? e + 1 : in.len;
+  }
+  in.pos = p;
+  return !rd.seq.empty();
+}
+
+// mate-2 transform (ref: tools.cpp:45-55): revcomp seq, reverse qual
+static void reverse_orientation(StreamRead& rd) {
+  string rc(rd.seq.size(), 'N');
+  for (size_t i = 0, n = rd.seq.size(); i < n; i++)
+    rc[i] = COMP[(unsigned char)rd.seq[n - 1 - i]];
+  rd.seq.swap(rc);
+  std::reverse(rd.qual.begin(), rd.qual.end());
+}
+
+extern "C" {
+
+// buffers are borrowed: the caller must keep them alive for the whole run.
+// fastq sniffing by first byte ('@' => FASTQ), per file (GetData.cpp:22).
+void mc_set_input(void* ctx, const char* buf1, i64 len1,
+                  const char* buf2, i64 len2, i32 pair_interleaved) {
+  (void)ctx;
+  Stream& st = g_stream;
+  st = Stream();
+  st.in1 = {buf1, len1, 0, len1 > 0 && buf1[0] == '@'};
+  st.paired_files = buf2 != nullptr;
+  if (st.paired_files) st.in2 = {buf2, len2, 0, len2 > 0 && buf2[0] == '@'};
+  st.pair_interleaved = pair_interleaved != 0;
+}
+
+// parse up to max_reads reads into a slot; returns count (0 => EOF).
+// paired modes emit (mate1, mate2-revcomped) interleaved.
+i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
+  (void)ctx;
+  Stream& st = g_stream;
+  Batch& b = st.slot[slot_idx & 1];
+  if ((i32)b.reads.size() < max_reads) b.reads.resize(max_reads);
+  i32 n = 0;
+  i32 maxlen = 0;
+  bool paired = st.paired_files || st.pair_interleaved;
+  while (n < max_reads) {
+    if (paired) {
+      if (n + 2 > max_reads) break;
+      StreamRead& r1 = b.reads[n];
+      StreamRead& r2 = b.reads[n + 1];
+      if (!parse_one(st.in1, r1)) break;
+      if (!parse_one(st.paired_files ? st.in2 : st.in1, r2)) break;
+      reverse_orientation(r2);
+      maxlen = std::max<i32>(maxlen, (i32)std::max(r1.seq.size(), r2.seq.size()));
+      n += 2;
+    } else {
+      StreamRead& r = b.reads[n];
+      if (!parse_one(st.in1, r)) break;
+      maxlen = std::max<i32>(maxlen, (i32)r.seq.size());
+      n += 1;
+    }
+  }
+  b.n = n;
+  *out_maxlen = maxlen;
+  return n;
+}
+
+// fill the device input matrix: codes[cap][bucket] padded with 4, rlens.
+// reads longer than bucket get rlen = -len (caller falls back per read).
+void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
+                    i32* rlens, i32 bucket, i32 cap) {
+  (void)ctx;
+  Batch& b = g_stream.slot[slot_idx & 1];
+  memset(codes, 4, (size_t)cap * bucket);
+  for (i32 i = 0; i < b.n; i++) {
+    const string& s = b.reads[i].seq;
+    i32 len = (i32)s.size();
+    if (len > bucket) { rlens[i] = -len; continue; }
+    rlens[i] = len;
+    unsigned char* row = codes + (size_t)i * bucket;
+    for (i32 j = 0; j < len; j++) row[j] = NT4[(unsigned char)s[j]];
+  }
+  for (i32 i = b.n; i < cap; i++) rlens[i] = 0;
+}
+
+// copy one read's raw seq out (oracle-fallback path for too-long reads)
+i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf) {
+  (void)ctx;
+  const string& s = g_stream.slot[slot_idx & 1].reads[i].seq;
+  memcpy(buf, s.data(), s.size());
+  return (i32)s.size();
+}
+
+// process a parsed batch in READ_CHUNK_SIZE(=200)-read sub-chunks with the
+// reference's running avg_dist semantics (engine.py:147-156): totals update
+// after each sub-chunk; avg_dist = round(dist_sum/paired) once paired>1000.
+// stats_io[6]: total_reads, mapped, paired, dist_sum, rlen_sum, avg_dist.
+void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
+                      const i32* seed_counts, const i32* seed_rpos,
+                      const i64* seed_gpos, const i32* seed_len,
+                      i64* stats_io, i64* out_sizes /*[8]*/) {
+  Ctx& c = *(Ctx*)ctx;
+  Batch& b = g_stream.slot[slot_idx & 1];
+  c.fastq = fastq != 0;
+  ChunkOut& o = g_out;
+  o = ChunkOut();
+  i32 n = b.n;
+  vector<Read> reads(n);
+  i64 soff = 0;
+  for (i32 i = 0; i < n; i++) {
+    Read& rd = reads[i];
+    rd.seq = b.reads[i].seq.c_str();
+    rd.qual = b.reads[i].qual.c_str();
+    rd.header = b.reads[i].header.c_str();
+    rd.rlen = (i32)b.reads[i].seq.size();
+    build_read(c, rd, seed_rpos + soff, seed_gpos + soff, seed_len + soff,
+               seed_counts[i]);
+    soff += seed_counts[i];
+  }
+  bool paired = pair_end != 0;
+  const i32 CHUNK = 200;
+  for (i32 lo = 0; lo < n; lo += CHUNK) {
+    i32 hi = std::min(n, lo + CHUNK);
+    i64 pn0 = o.paired_num, ds0 = o.dist_sum;
+    i64 mn0 = o.mapped_num, rs0 = o.rlen_sum;
+    process_span(c, reads, lo, hi, paired && (hi - lo) % 2 == 0,
+                 stats_io[5], o);
+    stats_io[0] += hi - lo;
+    stats_io[1] += o.mapped_num - mn0;
+    stats_io[2] += o.paired_num - pn0;
+    stats_io[3] += o.dist_sum - ds0;
+    stats_io[4] += o.rlen_sum - rs0;
+    if (stats_io[2] > 1000)
+      stats_io[5] = (i64)((double)stats_io[3] / stats_io[2] + 0.5);
   }
   out_sizes[0] = o.mapped_num;
   out_sizes[1] = o.paired_num;
