@@ -22,6 +22,19 @@ Layer map (mirrors SURVEY.md section 1):
 __version__ = "0.1.0"
 
 
+def tune_host_allocator() -> None:
+    """Keep large numpy temporaries on the reusable glibc heap instead of
+    fresh mmaps: first-touch page faults on this class of VM cost ~10x
+    the actual compute of a genome-sized array pass."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(path: str = "/root/.cache/jax_mc") -> None:
     """Persistent XLA compilation cache — first compiles on the tunneled
     TPU platform take minutes; cached reloads take seconds."""
