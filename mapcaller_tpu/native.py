@@ -58,11 +58,15 @@ def load_lib():
                                       C.c_void_p]
         lib.mc_batch_codes.argtypes = [C.c_void_p, C.c_int32, C.c_void_p,
                                        C.c_void_p, C.c_int32, C.c_int32]
+        lib.mc_batch_codes_packed.argtypes = [C.c_void_p, C.c_int32,
+                                              C.c_void_p, C.c_void_p,
+                                              C.c_int32, C.c_int32]
         lib.mc_read_seq.restype = C.c_int32
         lib.mc_read_seq.argtypes = [C.c_void_p, C.c_int32, C.c_int32, C.c_char_p]
         lib.mc_process_batch.argtypes = [
             C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_void_p,
             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+        lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         _lib = lib
@@ -131,6 +135,17 @@ class NativeEngine:
         except Exception:
             pass
 
+    def enable_diff_mode(self, profile) -> None:
+        """Switch evidence accumulation to O(1)/read diff-array endpoints
+        (exact-match coverage, F counters, multi) cumsum'd at finalize;
+        only mismatch bases are per-base point adds."""
+        profile.alloc_diffs()
+        self._diffs = (profile.F1_diff, profile.R2_diff, profile.F2_diff,
+                       profile.R1_diff, profile.multi_diff,
+                       profile.exact_diff)
+        self.lib.mc_set_diff_mode(self.ctx, *(_ptr(d) for d in self._diffs))
+        self.diff_mode = True
+
     # -- stream API: native parsing + double-buffered batches -------------
     def set_input(self, buf1: bytes, buf2: Optional[bytes],
                   pair_interleaved: bool) -> None:
@@ -153,6 +168,15 @@ class NativeEngine:
         self.lib.mc_batch_codes(self.ctx, slot, _ptr(codes), _ptr(rlens),
                                 bucket, cap)
         return codes, rlens
+
+    def batch_codes_packed(self, slot: int, bucket: int, cap: int):
+        """2-bit packed code matrix (4 bases/byte) + rlens; negative rlen
+        = host-fallback read (too long or contains N)."""
+        packed = np.empty((cap, bucket // 4), dtype=np.uint8)
+        rlens = np.empty(cap, dtype=np.int32)
+        self.lib.mc_batch_codes_packed(self.ctx, slot, _ptr(packed),
+                                       _ptr(rlens), bucket, cap)
+        return packed, rlens
 
     def read_codes(self, slot: int, i: int) -> np.ndarray:
         """Full codes of one read (too-long-for-bucket fallback)."""

@@ -27,6 +27,225 @@ OCC_THR = 50
 MIN_SEED_LEN = 16
 
 
+def crumb_lookup(packed: jnp.ndarray, row: jnp.ndarray,
+                 pos: jnp.ndarray) -> jnp.ndarray:
+    """2-bit code fetch from packed uint8[B, ceil(W/4)] read matrix.
+    Reads containing N never reach the device (host-oracle fallback),
+    so 2 bits/base is lossless here. pos is clamped by the caller's
+    masks; out-of-range crumbs are garbage but never used."""
+    W4 = packed.shape[1]
+    byte = packed[row, jnp.clip(pos >> 2, 0, W4 - 1)].astype(jnp.int32)
+    return (byte >> ((pos & 3) * 2)) & 3
+
+
+def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
+                             batch: int, hits_per_read_x4: int = 9):
+    """Transfer-optimized batched seeding (tunnel platforms pay ~30 ms
+    per D2H plus ~30 MB/s, so every byte counts):
+
+      input:  packed 2-bit codes uint8[B, W/4]  (8x smaller than bytes),
+              rlens int32[B]
+      output: ONE int32 vector =
+              [hit_w[H]   : rpos<<9 | len  (0 => empty slot),
+               hit_loc[H] : text position of the hit,
+               counts2[B/2]: per-read kept-hit counts, 2 x int16 per word,
+               ovfbits[B/32], total_kept, buffer_overflow]
+
+    Hits are filtered on device (PosDiff > 0, exactly the host filter)
+    and compacted grouped-by-read, so the host hands them straight to
+    the native chainer. H = B * hits_per_read_x4 / 4 pooled across the
+    batch (measured ~1.5 kept hits/read; overflow reruns via a larger
+    kernel tier)."""
+    assert batch % 32 == 0 and max_len <= 511
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = batch * hits_per_read_x4 // 4
+
+    def kernel(fm: DeviceFMIndex, packed: jnp.ndarray, rlens: jnp.ndarray):
+        B = batch
+        codes_fn = lambda row, pos: crumb_lookup(packed, row, pos)
+        (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
+            fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
+
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+
+        total_raw = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        seg_start = jnp.repeat(csum, freqs, total_repeat_length=H)
+        within = hpos - seg_start
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total_raw, H)
+        buffer_overflow = total_raw > H
+
+        hit_loc, resolved = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+        unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
+            (hit_valid & ~resolved).astype(jnp.int32))
+        overflow = overflow | (unresolved_read > 0)
+
+        # device-side PosDiff > 0 filter (ReadMapping.cpp:136 keeps only
+        # hits right of the read origin) + stable compaction by hit order
+        keep = hit_valid & ((hit_loc - hit_rpos) > 0)
+        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep, dest, H)
+        w = jnp.where(keep, (hit_rpos << 9) | hit_len, 0)
+        hit_w_c = jnp.zeros(H + 1, dtype=jnp.int32).at[slot].set(
+            w, mode="drop")[:H]
+        hit_loc_c = jnp.zeros(H + 1, dtype=jnp.int32).at[slot].set(
+            jnp.where(keep, hit_loc, 0), mode="drop")[:H]
+        counts = jnp.zeros(B, dtype=jnp.int32).at[hit_read].add(
+            keep.astype(jnp.int32))
+        counts2 = (counts[0::2] & 0xFFFF) | (counts[1::2] << 16)
+        total_kept = keep.sum()
+
+        ovf_bits = jnp.zeros(B // 32, dtype=jnp.int32).at[
+            jnp.arange(B) >> 5].add(
+            overflow.astype(jnp.int32) << (jnp.arange(B) & 31))
+        return jnp.concatenate([
+            hit_w_c, hit_loc_c, counts2, ovf_bits,
+            jnp.stack([total_kept, buffer_overflow.astype(jnp.int32)]),
+        ])
+
+    jitted = jax.jit(kernel)
+
+    def submit(packed, rlens):
+        dev = jitted(fm_template, packed, rlens)
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
+        return dev
+
+    def collect(dev_packed):
+        p = np.asarray(dev_packed)
+        B = batch
+        hit_w = p[0:H]
+        hit_loc = p[H:2 * H]
+        c2 = p[2 * H:2 * H + B // 2]
+        counts = np.empty(B, dtype=np.int32)
+        counts[0::2] = c2 & 0xFFFF
+        counts[1::2] = (c2 >> 16) & 0xFFFF
+        nov = B // 32
+        ovf_bits = p[2 * H + B // 2:2 * H + B // 2 + nov]
+        total = int(p[-2])
+        buf_ovf = bool(p[-1])
+        bit = (np.arange(B) & 31)
+        overflow = ((ovf_bits[np.arange(B) >> 5] >> bit) & 1).astype(bool)
+        n = min(total, H)
+        rpos = (hit_w[:n] >> 9) & 0x1FF
+        lens = hit_w[:n] & 0x1FF
+        return counts, rpos, hit_loc[:n].astype(np.int64), lens, overflow, buf_ovf
+
+    submit.collect = collect
+    submit.H = H
+    return submit
+
+
+def _seed_scan(fm, codes_fn, rlens, B, max_len, max_seeds, has_n):
+    """Shared greedy-MEM state machine (see build_seed_kernel docstring).
+    codes_fn(row, pos) -> int32 code; with has_n=False the ambiguity
+    branch is compiled out (packed 2-bit input)."""
+    L2 = fm.L2
+    primary = fm.primary
+
+    def step(state):
+        (pos, in_ext, start, ext_pos, x0, x1, x2,
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        stop_pos = rlens - MIN_SEED_LEN
+        done = (~in_ext) & (pos >= stop_pos)
+        active = ~done
+
+        cpos = codes_fn(bidx, jnp.minimum(pos, max_len - 1))
+        if has_n:
+            start_new = active & (~in_ext) & (cpos <= 3)
+            skip_amb = active & (~in_ext) & (cpos > 3)
+        else:
+            start_new = active & (~in_ext)
+            skip_amb = jnp.zeros_like(start_new)
+
+        cext = codes_fn(bidx, jnp.minimum(ext_pos, max_len - 1))
+        ext_active = active & in_ext
+        if has_n:
+            at_end = ext_active & ((ext_pos >= rlens) | (cext > 3))
+        else:
+            at_end = ext_active & (ext_pos >= rlens)
+        extending = ext_active & ~at_end
+
+        k1 = jnp.where(extending, x1 - 1, 0)
+        k2 = jnp.where(extending, x1 - 1 + x2, 0)
+        tkl = occ4(fm, jnp.stack([k1, k2]))
+        tk, tl = tkl[0], tkl[1]
+        ok_x1 = L2[:4][None, :] + 1 + tk
+        ok_x2 = tl - tk
+        adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
+        ok3_x0 = x0 + adj
+        ok2_x0 = ok3_x0 + ok_x2[:, 3]
+        ok1_x0 = ok2_x0 + ok_x2[:, 2]
+        ok0_x0 = ok1_x0 + ok_x2[:, 1]
+        ok_x0 = jnp.stack([ok0_x0, ok1_x0, ok2_x0, ok3_x0], axis=-1)
+        ci = jnp.where(extending, 3 - cext, 0)
+        onehot_c = (jnp.arange(4, dtype=jnp.int32)[None, :] == ci[:, None])
+        new_x0 = jnp.where(onehot_c, ok_x0, 0).sum(axis=-1)
+        new_x1 = jnp.where(onehot_c, ok_x1, 0).sum(axis=-1)
+        new_x2 = jnp.where(onehot_c, ok_x2, 0).sum(axis=-1)
+        ext_fail = extending & (new_x2 == 0)
+        ext_ok = extending & (new_x2 != 0)
+
+        finalize = at_end | ext_fail
+        slen = ext_pos - start
+        good = finalize & (slen >= MIN_SEED_LEN) & (x2 <= OCC_THR)
+        slot = jnp.minimum(n_seeds, max_seeds - 1)
+        overflow = overflow | (finalize & good & (n_seeds >= max_seeds))
+
+        onehot = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :] == slot[:, None]
+                  ) & good[:, None]
+
+        def put(arr, val):
+            return jnp.where(onehot, val[:, None], arr)
+
+        s_rpos = put(s_rpos, start)
+        s_len = put(s_len, slen)
+        s_x0 = put(s_x0, x0)
+        s_freq = put(s_freq, x2)
+        n_seeds = jnp.where(good, jnp.minimum(n_seeds + 1, max_seeds), n_seeds)
+
+        pos = jnp.where(skip_amb, pos + 1,
+              jnp.where(finalize, start + slen + 1, pos))
+        x0 = jnp.where(start_new, L2[cpos & 3] + 1, jnp.where(ext_ok, new_x0, x0))
+        x1 = jnp.where(start_new, L2[(3 - cpos) & 3] + 1, jnp.where(ext_ok, new_x1, x1))
+        x2 = jnp.where(start_new, L2[(cpos & 3) + 1] - L2[cpos & 3],
+                       jnp.where(ext_ok, new_x2, x2))
+        start = jnp.where(start_new, pos, start)
+        ext_pos = jnp.where(start_new, pos + 1, jnp.where(ext_ok, ext_pos + 1, ext_pos))
+        in_ext = jnp.where(start_new, True, jnp.where(finalize, False, in_ext))
+
+        return (pos, in_ext, start, ext_pos, x0, x1, x2,
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
+
+    z = rlens * 0
+    zb = z != 0
+    zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
+    state = (z, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
+    n_iters = max_len + 2 * max_seeds + 2
+    # unroll: tunneled platforms pay a fixed latency per loop step, and
+    # the per-step compute (a batch of occ4 gathers) underfills the chip
+    state = jax.lax.fori_loop(0, n_iters, lambda _, s: step(s), state,
+                              unroll=16)
+    (_, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
+     overflow) = state
+    return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow
+
+
 def build_seed_kernel(fm_template: DeviceFMIndex, max_len: int, batch: int,
                       hits_per_read: int = 8):
     """Returns jitted fn: (codes uint8[B,L], rlens int32[B]) ->

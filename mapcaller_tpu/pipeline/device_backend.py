@@ -59,25 +59,103 @@ class DeviceBackend:
             out.extend(self._collect_one(item))
         return out
 
+    # -- packed 2-bit API (stream path; transfer-optimized) ---------------
+    def _packed_kernel_for(self, bucket: int, tier: int = 9,
+                           batch: Optional[int] = None):
+        B = batch or self.batch
+        key = ("packed", bucket, tier, B)
+        if key not in self._kernels:
+            from ..ops.fm_search import build_seed_kernel_packed
+            self._kernels[key] = build_seed_kernel_packed(
+                self.fm, bucket, B, hits_per_read_x4=tier)
+        return self._kernels[key]
+
+    def submit_packed(self, packed: np.ndarray, rlens: np.ndarray,
+                      bucket: int, tier: int = 9):
+        """packed uint8[B, bucket/4] 2-bit codes; negative rlen =
+        host-fallback read. Async dispatch; ~8x smaller upload and ~4x
+        smaller download than the byte-matrix path."""
+        kernel = self._packed_kernel_for(bucket, tier, batch=packed.shape[0])
+        rl = np.maximum(rlens, 0)
+        packed_dev = jnp.asarray(packed)
+        dev = kernel(packed_dev, jnp.asarray(rl))
+        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens)
+
+    def collect_packed(self, token, n: int, read_codes_fn):
+        """-> (counts, rpos, gpos, slen) grouped by read; overflow reads
+        recomputed with the host oracle. Batch-level hit-buffer overflow
+        reruns via a double-capacity kernel tier."""
+        kernel, dev, fb_neg, packed_dev, bucket, rlens = token
+        counts, rpos, gpos, slen, overflow, buf_ovf = kernel.collect(dev)
+        if buf_ovf:
+            kernel2 = self._packed_kernel_for(bucket, tier=18,
+                                              batch=len(rlens))
+            dev2 = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
+            counts, rpos, gpos, slen, overflow, buf_ovf = kernel2.collect(dev2)
+            if buf_ovf:   # pathological: host oracle for everything
+                fallback = np.ones(n, dtype=bool)
+                counts = np.zeros(n, dtype=np.int32)
+                rpos = np.zeros(0, np.int32); gpos = np.zeros(0, np.int64)
+                slen = np.zeros(0, np.int32)
+                return self._splice_fallback(n, counts, rpos, gpos, slen,
+                                             fallback, read_codes_fn)
+        fallback = overflow[:n] | fb_neg[:n]
+        counts = counts[:n]
+        if fallback.any():
+            # drop device hits of fallback reads, then splice oracle seeds
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=bounds[1:])
+            keep = np.ones(len(rpos), dtype=bool)
+            for i in np.nonzero(fallback)[0].tolist():
+                keep[bounds[i]:bounds[i + 1]] = False
+            rpos, gpos, slen = rpos[keep], gpos[keep], slen[keep]
+            counts = counts.copy()
+            counts[fallback] = 0
+            return self._splice_fallback(n, counts, rpos, gpos, slen,
+                                         fallback, read_codes_fn)
+        return counts, rpos.astype(np.int32), gpos, slen.astype(np.int32)
+
+    def _splice_fallback(self, n, counts, rpos, gpos, slen, fallback,
+                         read_codes_fn):
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        rp_parts, gp_parts, ln_parts = [], [], []
+        prev = 0
+        for i in np.nonzero(fallback)[0].tolist():
+            s = int(bounds[i])
+            rp_parts.append(rpos[prev:s]); gp_parts.append(gpos[prev:s])
+            ln_parts.append(slen[prev:s])
+            orp, ogp, oln = self._oracle_arrays(read_codes_fn(i))
+            rp_parts.append(orp); gp_parts.append(ogp); ln_parts.append(oln)
+            counts[i] = len(orp)
+            prev = s
+        rp_parts.append(rpos[prev:]); gp_parts.append(gpos[prev:])
+        ln_parts.append(slen[prev:])
+        return (counts,
+                np.concatenate(rp_parts).astype(np.int32),
+                np.concatenate(gp_parts).astype(np.int64),
+                np.concatenate(ln_parts).astype(np.int32))
+
     # -- flat matrix API (stream path: native parser provides the batch) --
     def submit_matrix(self, codes: np.ndarray, rlens: np.ndarray, bucket: int):
         """codes uint8[batch, bucket], rlens int32[batch] (negative length
         = read too long for the bucket -> per-read fallback). Async."""
         kernel = self._kernel_for(bucket)
-        rl = np.maximum(rlens, 0)
-        dev = kernel.submit(jnp.asarray(codes), jnp.asarray(rl))
+        codes_dev = jnp.asarray(codes)
+        dev = kernel.submit(codes_dev, jnp.asarray(rl := np.maximum(rlens, 0)))
         try:
             dev.copy_to_host_async()   # D2H rides the tunnel during host work
         except Exception:
             pass
-        return (kernel, dev, rlens < 0)
+        # codes_dev stays resident for the batch's later PFM scatter
+        return (kernel, dev, rlens < 0, codes_dev)
 
     def collect_flat(self, token, n: int, codes: np.ndarray,
                      rlens: np.ndarray, read_codes_fn):
         """-> (counts int32[n], rpos int32[], gpos int64[], slen int32[])
         flat seed arrays grouped by read, PosDiff>0 filter applied.
         Overflowed reads are recomputed with the host oracle."""
-        kernel, dev, too_long = token
+        kernel, dev, too_long, _codes_dev = token
         (hit_read, hit_rpos, hit_len, hit_loc, hit_valid,
          total, overflow, buf_ovf) = kernel.collect(dev)
         if bool(buf_ovf):

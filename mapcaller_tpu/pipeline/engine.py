@@ -75,6 +75,14 @@ class MappingEngine:
                 sys.stderr.write(f"[warn] native runtime unavailable ({e}); "
                                  f"using Python pipeline\n")
 
+    def enable_diff_profile(self) -> None:
+        """Stream fast path: O(1)/read evidence accumulation — exact-match
+        coverage and range counters as +1/-1 diff endpoints, materialized
+        once at finalize (see native/mc_native.cpp mc_set_diff_mode)."""
+        if self.profile is None or self.profile.F1_diff is not None:
+            return
+        self.native.enable_diff_mode(self.profile)
+
     # ------------------------------------------------------------------
     def preseed_submit(self, reads: List[ReadState], pair_end: bool):
         """Enqueue device seeding for a super-batch (async dispatch).
@@ -285,6 +293,8 @@ class MappingEngine:
     # ------------------------------------------------------------------
     def finalize(self) -> None:
         """Post-mapping statistics (ref: ReadMapping.cpp:627-643,767-790)."""
+        if self.profile is not None and self.profile.F1_diff is not None:
+            self.profile.finalize_diffs(self.idx.ref.ref_sequence_codes())
         self.tnl_sites.sort(key=lambda p: p[0])
         self.inv_sites.sort(key=lambda p: p[0])
         st = self.stats

@@ -37,6 +37,38 @@ class Profile:
         self.break_point: Dict[int, int] = {}
         self.insert_map: Dict[int, Dict[str, int]] = {}
         self.delete_map: Dict[int, Dict[str, int]] = {}
+        # diff-array mode (device PFM): F/multi counters accumulate as
+        # +1/-1 endpoints, cumsum'd once by finalize_diffs()
+        self.F1_diff = self.R2_diff = self.F2_diff = self.R1_diff = None
+        self.multi_diff = None
+
+    def alloc_diffs(self) -> None:
+        n1 = self.n + 1
+        self.F1_diff = np.zeros(n1, dtype=np.int32)
+        self.R2_diff = np.zeros(n1, dtype=np.int32)
+        self.F2_diff = np.zeros(n1, dtype=np.int32)
+        self.R1_diff = np.zeros(n1, dtype=np.int32)
+        self.multi_diff = np.zeros(n1, dtype=np.int32)
+        self.exact_diff = np.zeros(n1, dtype=np.int32)
+
+    def finalize_diffs(self, ref_codes: np.ndarray) -> None:
+        """Materialize F1/R2/F2/R1/multi from the diff endpoints and fold
+        the exact-match coverage into the reference base's acgt plane.
+        For a pure +1 stream, capping after the cumsum equals the
+        reference's per-increment saturation."""
+        if self.F1_diff is None:
+            return
+        for diff, name in ((self.F1_diff, "F1"), (self.R2_diff, "R2"),
+                           (self.F2_diff, "F2"), (self.R1_diff, "R1")):
+            np.cumsum(diff[:-1], out=getattr(self, name))
+        np.cumsum(self.multi_diff[:-1], out=self.multi_hit)
+        np.minimum(self.multi_hit, MAX_ALLELE_COUNT, out=self.multi_hit)
+        exact = np.cumsum(self.exact_diff[:-1], dtype=np.int32)
+        rc = ref_codes[:self.n]
+        for c in range(4):
+            plane = self.acgt[c]
+            plane += np.where(rc == c, exact, 0)
+            np.minimum(plane, MAX_ALLELE_COUNT, out=plane)
 
     # -- helpers ---------------------------------------------------------
     def column_size(self, g_pos: int) -> int:

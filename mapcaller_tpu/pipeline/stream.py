@@ -33,6 +33,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
     engine.profile (in place via C++), engine.inv_sites/tnl_sites."""
     native = engine.native
     be = engine.backend
+    if cfg.vcf_output:
+        engine.enable_diff_profile()
     stats_io = np.zeros(6, dtype=np.int64)
     stats_io[5] = engine.stats.avg_dist
 
@@ -45,23 +47,23 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         fastq = buf1[:1] == b"@"
         native.set_input(buf1, buf2, cfg.pair_interleaved)
 
+        sb = max(cfg.stream_batch_size, 256)
         slot = 0
-        pending = None   # (slot, n, token, codes, rlens)
+        pending = None   # (slot, n, token)
         while True:
-            n, maxlen = native.next_batch(slot, be.batch)
+            n, maxlen = native.next_batch(slot, sb)
             if n > 0:
                 bucket = next((b for b in be.BUCKETS
                                if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
-                codes, rlens = native.batch_codes(slot, bucket, be.batch)
-                token = be.submit_matrix(codes, rlens, bucket)
-                cur = (slot, n, token, codes, rlens)
+                packed, rlens = native.batch_codes_packed(slot, bucket, sb)
+                token = be.submit_packed(packed, rlens, bucket)
+                cur = (slot, n, token)
             else:
                 cur = None
             if pending is not None:
-                pslot, pn, ptoken, pcodes, prlens = pending
-                counts, rp, gp, ln = be.collect_flat(
-                    ptoken, pn, pcodes, prlens,
-                    lambda i, s=pslot: native.read_codes(s, i))
+                pslot, pn, ptoken = pending
+                counts, rp, gp, ln = be.collect_packed(
+                    ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
                 sam_text, st = native.process_batch(
                     pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
                 engine.inv_sites.extend(st["inv"])

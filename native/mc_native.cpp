@@ -57,6 +57,17 @@ struct Ctx {
   bool fastq = true;
   // persistent DiscordPair state (mirrors ReadMapping.cpp:420 reuse bug)
   i64 discord_gpos = 0;
+  // diff mode: every exactly-matching base credits the REFERENCE base's
+  // plane (an exact seed's read base equals the forward-strand ref base
+  // at that position, on either strand), so matched runs become +1/-1
+  // endpoints on exact_diff and only mismatch bases (<1/read) are point
+  // adds into the acgt planes. F1/R2/F2/R1 and multi_hit likewise become
+  // diff arrays (i32[L+1]) cumsum'd once at finalize. Cap-at-end ==
+  // cap-per-increment for pure +1 streams, so saturation is exact.
+  bool emit_segments = false;
+  i32* f_diff[4] = {nullptr, nullptr, nullptr, nullptr};  // F1,R2,F2,R1
+  i32* multi_diff = nullptr;
+  i32* exact_diff = nullptr;
 };
 
 static unsigned char NT4[256];
@@ -1028,12 +1039,41 @@ static const i32 MAX_ALLELE = 4095;
 enum { EV_BP = 0, EV_INS = 1, EV_DEL = 2 };
 struct Event { i64 gpos; i32 kind; string seq; };
 
+struct ChunkOut {
+  i64 mapped_num = 0, paired_num = 0, dist_sum = 0, rlen_sum = 0;
+  vector<std::pair<i64, i64>> inv_sites, tnl_sites;  // (gpos, dist)
+  vector<Event> events;
+  string sam;
+};
+
 static void bump_base(Ctx& c, i64 g, int plane) {
   if (g >= 0 && g < c.L && c.acgt[plane][g] < MAX_ALLELE) c.acgt[plane][g]++;
 }
 
+// diff-mode point add: uncapped — the MaxAlleleCount saturation is
+// applied once at finalize over (point + exact range) totals, which for
+// a pure +1 stream equals per-increment capping.
+static void bump_base_nocap(Ctx& c, i64 g, int plane) {
+  if (g >= 0 && g < c.L) c.acgt[plane][g]++;
+}
+
+// diff-mode exact-match range add over forward positions [g, g+len)
+static void exact_range(Ctx& c, i64 g, i32 len) {
+  if (len <= 0) return;
+  i64 e = g + len;
+  if (g < 0) g = 0;
+  if (e > c.L) e = c.L;
+  if (e <= g) return;
+  c.exact_diff[g]++;
+  c.exact_diff[e]--;
+}
+
+// Walk a '-'-padded alignment block. In plane mode bumps acgt directly;
+// in diff mode matched columns become exact_diff range-adds (a2 holds
+// forward-strand ref chars on both strands, because process_normal_pair
+// revcomps reverse blocks) and only mismatch columns are point adds.
 static void walk_aln(Ctx& c, const string& a1, const string& a2, i64 gpos,
-                     vector<Event>& evs) {
+                     vector<Event>& evs, bool diff_mode) {
   size_t j = 0, n = a1.size();
   while (j < n) {
     if (a2[j] == '-') {
@@ -1047,6 +1087,19 @@ static void walk_aln(Ctx& c, const string& a1, const string& a2, i64 gpos,
       evs.push_back({gpos - 1, EV_DEL, a2.substr(j, e - j)});
       gpos += e - j;
       j = e;
+    } else if (diff_mode) {
+      unsigned char b = NT4[(unsigned char)a1[j]];
+      if (b < 4 && a1[j] == a2[j]) {
+        i64 g0 = gpos;
+        size_t e = j;
+        while (e < n && a1[e] == a2[e]
+               && NT4[(unsigned char)a1[e]] < 4) { e++; gpos++; }
+        exact_range(c, g0, (i32)(e - j));
+        j = e;
+      } else {
+        if (b < 4) bump_base_nocap(c, gpos, b);
+        j++; gpos++;
+      }
     } else {
       unsigned char b = NT4[(unsigned char)a1[j]];
       if (b < 4) bump_base(c, gpos, b);
@@ -1056,6 +1109,7 @@ static void walk_aln(Ctx& c, const string& a1, const string& a2, i64 gpos,
 }
 
 static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
+  bool emit = c.emit_segments;
   for (auto& can : rd.cans) {
     if (can.score == 0) continue;
     auto& frags = can.frags;
@@ -1078,35 +1132,52 @@ static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
     i64 g_start = can.orientation ? first.gPos : c.two_l - (first.gPos + first.gLen);
     if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
     else continue;
-    i32* tgt = b_first ? (can.orientation ? c.F1 : c.R1)
-                       : (can.orientation ? c.R2 : c.F2);
     i64 end = std::min<i64>(g_start + rd.rlen, c.L);
-    for (i64 g = g_start; g < end; g++) tgt[g]++;
+    if (emit) {
+      i32* fd = c.f_diff[b_first ? (can.orientation ? 0 : 3)
+                                 : (can.orientation ? 1 : 2)];
+      fd[g_start]++;
+      fd[end]--;
+    } else {
+      i32* tgt = b_first ? (can.orientation ? c.F1 : c.R1)
+                         : (can.orientation ? c.R2 : c.F2);
+      for (i64 g = g_start; g < end; g++) tgt[g]++;
+    }
     if (can.orientation) {
       for (auto& fp : frags) {
         if (fp.simple) {
-          i32 rp = fp.rPos;
-          i64 gp = fp.gPos;
-          for (i32 j = 0; j < fp.rLen; j++, rp++, gp++) {
-            unsigned char b = NT4[(unsigned char)rd.seq[rp]];
-            if (b < 4) bump_base(c, gp, b);
+          if (emit) {
+            // exact seed: every base equals the forward ref base
+            exact_range(c, fp.gPos, fp.rLen);
+          } else {
+            i32 rp = fp.rPos;
+            i64 gp = fp.gPos;
+            for (i32 j = 0; j < fp.rLen; j++, rp++, gp++) {
+              unsigned char b = NT4[(unsigned char)rd.seq[rp]];
+              if (b < 4) bump_base(c, gp, b);
+            }
           }
         } else if (fp.gLen == 0) evs.push_back({fp.gPos - 1, EV_INS, fp.aln1});
         else if (fp.rLen == 0) evs.push_back({fp.gPos - 1, EV_DEL, fp.aln2});
-        else walk_aln(c, fp.aln1, fp.aln2, fp.gPos, evs);
+        else walk_aln(c, fp.aln1, fp.aln2, fp.gPos, evs, emit);
       }
     } else {
       for (auto& fp : frags) {
         if (fp.simple) {
-          i32 rp = fp.rPos;
-          i64 gp = c.two_l - 1 - fp.gPos;
-          for (i32 j = 0; j < fp.rLen; j++, rp++, gp--) {
-            unsigned char b = NT4[(unsigned char)rd.seq[rp]];
-            if (b < 4) bump_base(c, gp, 3 - b);
+          if (emit) {
+            exact_range(c, c.two_l - fp.gPos - fp.rLen, fp.rLen);
+          } else {
+            i32 rp = fp.rPos;
+            i64 gp = c.two_l - 1 - fp.gPos;
+            for (i32 j = 0; j < fp.rLen; j++, rp++, gp--) {
+              unsigned char b = NT4[(unsigned char)rd.seq[rp]];
+              if (b < 4) bump_base(c, gp, 3 - b);
+            }
           }
         } else if (fp.gLen == 0) evs.push_back({c.two_l - fp.gPos - 1, EV_INS, fp.aln1});
         else if (fp.rLen == 0) evs.push_back({c.two_l - fp.gPos - fp.gLen - 1, EV_DEL, fp.aln2});
-        else walk_aln(c, fp.aln1, fp.aln2, c.two_l - (fp.gPos + fp.gLen), evs);
+        else walk_aln(c, fp.aln1, fp.aln2, c.two_l - (fp.gPos + fp.gLen), evs,
+                      emit);
       }
     }
   }
@@ -1125,7 +1196,13 @@ static void update_multi_hit(Ctx& c, Read& rd) {
       }
       if (g < 0) g = 0;
       if (ge > c.L) ge = c.L;
-      for (; g < ge; g++) if (c.multi_hit[g] < MAX_ALLELE) c.multi_hit[g]++;
+      if (ge <= g) continue;
+      if (c.emit_segments) {
+        c.multi_diff[g]++;
+        c.multi_diff[ge]--;
+      } else {
+        for (; g < ge; g++) if (c.multi_hit[g] < MAX_ALLELE) c.multi_hit[g]++;
+      }
     }
   }
 }
@@ -1134,13 +1211,6 @@ static void update_multi_hit(Ctx& c, Read& rd) {
 // chunk driver (ref: ReadMapping.cpp:416-646; pipeline/engine.py)
 // ---------------------------------------------------------------------------
 static const i64 MIN_INV = 1000, MAX_INV = 10000000, MIN_TNL = 1000;
-
-struct ChunkOut {
-  i64 mapped_num = 0, paired_num = 0, dist_sum = 0, rlen_sum = 0;
-  vector<std::pair<i64, i64>> inv_sites, tnl_sites;  // (gpos, dist)
-  vector<Event> events;
-  string sam;
-};
 
 static void build_read(const Ctx& c, Read& rd,
                        const i32* seed_rpos, const i64* seed_gpos,
@@ -1520,6 +1590,34 @@ void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
   for (i32 i = b.n; i < cap; i++) rlens[i] = 0;
 }
 
+// fill the device input matrix with 2-bit packed codes (4 bases/byte):
+// packed[cap][bucket/4]; rlens[i] = -len marks host-fallback reads
+// (longer than the bucket, or containing non-ACGT bases — the packed
+// form cannot represent N).
+void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
+                           i32* rlens, i32 bucket, i32 cap) {
+  (void)ctx;
+  Batch& b = g_stream.slot[slot_idx & 1];
+  i32 wb = bucket / 4;
+  memset(packed, 0, (size_t)cap * wb);
+  for (i32 i = 0; i < b.n; i++) {
+    const string& s = b.reads[i].seq;
+    i32 len = (i32)s.size();
+    if (len > bucket) { rlens[i] = -len; continue; }
+    unsigned char* row = packed + (size_t)i * wb;
+    bool ok = true;
+    for (i32 j = 0; j < len; j++) {
+      unsigned char code = NT4[(unsigned char)s[j]];
+      // N crumbs stay 0 but are never read: emit_seg splits segments at
+      // non-ACGT bases and rlens<0 routes seeding to the host oracle
+      if (code > 3) { ok = false; continue; }
+      row[j >> 2] |= code << ((j & 3) * 2);
+    }
+    rlens[i] = ok ? len : -len;
+  }
+  for (i32 i = b.n; i < cap; i++) rlens[i] = 0;
+}
+
 // copy one read's raw seq out (oracle-fallback path for too-long reads)
 i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf) {
   (void)ctx;
@@ -1578,6 +1676,17 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
   out_sizes[5] = (i64)o.events.size();
   out_sizes[6] = (i64)o.inv_sites.size();
   out_sizes[7] = (i64)o.tnl_sites.size();
+}
+
+// enable diff mode: matched-base accumulation becomes +1/-1 endpoints
+// on exact_diff; F/multi counters become diff arrays (all i32[L+1]).
+void mc_set_diff_mode(void* ctx, i32* f1d, i32* r2d, i32* f2d, i32* r1d,
+                      i32* multid, i32* exactd) {
+  Ctx* c = (Ctx*)ctx;
+  c->f_diff[0] = f1d; c->f_diff[1] = r2d; c->f_diff[2] = f2d; c->f_diff[3] = r1d;
+  c->multi_diff = multid;
+  c->exact_diff = exactd;
+  c->emit_segments = f1d != nullptr;
 }
 
 // copy out SAM text + events + discord sites from the last mc_process_chunk

@@ -43,7 +43,7 @@ def _run(toy_idx, cfg, f1, f2=None):
 
 def test_stream_pe_matches_golden(toy_idx, tmp_path):
     cfg = Config(sam_file="x", vcf_file=str(tmp_path / "out.vcf"),
-                 batch_size=256, max_read_len=128)
+                 batch_size=256, stream_batch_size=256, max_read_len=128)
     engine, sam = _run(toy_idx, cfg,
                        os.path.join(DATA, "sub_r1.fq.gz"),
                        os.path.join(DATA, "sub_r2.fq.gz"))
@@ -61,7 +61,7 @@ def test_stream_pe_matches_golden(toy_idx, tmp_path):
 
 def test_stream_se_matches_golden(toy_idx):
     cfg = Config(sam_file="x", vcf_output=False,
-                 batch_size=256, max_read_len=128)
+                 batch_size=256, stream_batch_size=256, max_read_len=128)
     engine, sam = _run(toy_idx, cfg, os.path.join(DATA, "sub_r1.fq.gz"))
     golden = read_lines(os.path.join(DATA, "sub_ref_se.sam.gz"))
 
@@ -84,7 +84,7 @@ def test_stream_se_matches_golden(toy_idx):
 def test_stream_multiple_batches(toy_idx):
     """Batch boundary handling: tiny batches force many slot swaps."""
     cfg = Config(sam_file="x", vcf_output=False,
-                 batch_size=64, max_read_len=128)
+                 batch_size=64, stream_batch_size=64, max_read_len=128)
     engine, sam = _run(toy_idx, cfg,
                        os.path.join(DATA, "sub_r1.fq.gz"),
                        os.path.join(DATA, "sub_r2.fq.gz"))
