@@ -36,7 +36,8 @@ def ensure_fixtures():
                 f.write(s[i:i + 70] + "\n")
     if not os.path.exists(f"{BENCH_DIR}/ecoli_mut.fa"):
         mutate_genome(fa, f"{BENCH_DIR}/ecoli_mut.fa",
-                      f"{BENCH_DIR}/ecoli_truth.vcf", seed=7)
+                      f"{BENCH_DIR}/ecoli_truth.vcf", seed=7,
+                      inv_per_mb=0, tnl_per_mb=0, cnv_per_mb=0)
     if not os.path.exists(f"{BENCH_DIR}/er1.fq"):
         write_paired_fastq(f"{BENCH_DIR}/ecoli_mut.fa",
                            f"{BENCH_DIR}/er1.fq", f"{BENCH_DIR}/er2.fq",

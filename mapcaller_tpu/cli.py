@@ -137,13 +137,13 @@ def parse_args(argv: List[str]) -> Optional[Config]:
         elif p in ("-v", "--version"):
             sys.stderr.write(f"MapCaller v{VERSION_STR}\n\n")
             return None
-        elif p in ("-obs", "-obr", "-d", "-debug"):
-            # debug observation flags: accepted, not yet wired
-            if p == "-obs":
-                nxt()
-            elif p == "-obr":
-                nxt()
-                nxt()
+        elif p == "-obs" and i + 1 < n:
+            cfg.obs_pos = int(nxt())
+        elif p == "-obr" and i + 2 < n:
+            cfg.obr_beg = int(nxt())
+            cfg.obr_end = int(nxt())
+        elif p in ("-d", "-debug"):
+            pass  # accepted like the reference (main.cpp:308)
         else:
             sys.stderr.write(f"Warning! Unknow parameter: {p}\n")
             _usage(argv[0])
@@ -173,6 +173,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             sys.stderr.write(f"[index] built in {time.time() - t0:.2f} sec\n")
             return 0
         sys.stderr.write(f"usage: {argv[0]} index ref.fa prefix\n")
+        return 1
+    if argv[1] == "sim":
+        # SVsim-equivalent fixture generator (ref: src/sv_simulator/SVsim.cpp)
+        if len(argv) >= 4:
+            from .simulator import mutate_genome, write_paired_fastq
+            prefix = argv[3]
+            seed = int(argv[4]) if len(argv) > 4 else 23
+            n_pairs = int(argv[5]) if len(argv) > 5 else 0
+            vs = mutate_genome(argv[2], prefix + ".mut.fa", prefix + ".vcf",
+                               seed=seed)
+            sys.stderr.write(f"[sim] {len(vs)} truth variants -> "
+                             f"{prefix}.mut.fa / {prefix}.vcf\n")
+            if n_pairs > 0:
+                write_paired_fastq(prefix + ".mut.fa", prefix + "_1.fq",
+                                   prefix + "_2.fq", n_pairs, seed=seed + 1)
+                sys.stderr.write(f"[sim] {n_pairs} read pairs -> "
+                                 f"{prefix}_1.fq / {prefix}_2.fq\n")
+            return 0
+        sys.stderr.write(f"usage: {argv[0]} sim ref.fa out_prefix [seed] [n_pairs]\n")
         return 1
     cfg = parse_args(argv)
     if cfg is None:

@@ -37,6 +37,9 @@ class Config:
     min_read_depth: int = 20                    # (-dp; disabled in reference)
     min_var_conf_score: int = 10
     gvcf: bool = False                          # -gvcf
+    obs_pos: int = -1                           # -obs (debug locus dump)
+    obr_beg: int = -1                           # -obr beg end (region dump)
+    obr_end: int = -1
     monomorphic: bool = False                   # -monomorphic
     somatic: bool = False                       # -somatic
     apply_filter: bool = False                  # -filter

@@ -44,6 +44,10 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
     engine = make_engine(idx, cfg)
     try:
         run_mapping(engine, cfg, t_start)
+        if engine.profile is not None and (cfg.obs_pos >= 0 or cfg.obr_beg >= 0):
+            from .tools import observe
+            observe(engine.genome, engine.profile, engine.ref_chars,
+                    cfg.obs_pos, cfg.obr_beg, cfg.obr_end)
         if cfg.vcf_output:
             run_calling(engine, cfg, cmd_line)
     finally:

@@ -72,10 +72,13 @@ class TruthVariant:
 
 def mutate_genome(fasta_path: str, out_fasta: str, out_vcf: str,
                   snp_per_mb: int = 3000, small_indel_per_mb: int = 200,
-                  large_indel_per_mb: int = 50, seed: int = 23
-                  ) -> List[TruthVariant]:
-    """SVsim-equivalent small-variant mutator (ref: SVsim.cpp:16-21 rates;
-    inversions/translocations/CNVs can be layered on later)."""
+                  large_indel_per_mb: int = 50, inv_per_mb: float = 1.0,
+                  tnl_per_mb: float = 1.0, cnv_per_mb: float = 1.0,
+                  seed: int = 23) -> List[TruthVariant]:
+    """SVsim-equivalent mutation simulator (ref: SVsim.cpp:16-21 rates,
+    GenMutantSeq :158-260): SNPs, small (1-10 bp) and large (11-30 bp)
+    indels, inversions (1-2 kb revcomp), translocations (1-2 kb swap at
+    +10-11 kb) and CNVs (0.3-1.3 kb duplicated 2-9x), seeded."""
     rng = np.random.default_rng(seed)
     variants: List[TruthVariant] = []
     out_seqs = []
@@ -85,18 +88,42 @@ def mutate_genome(fasta_path: str, out_fasta: str, out_vcf: str,
         n_snp = int(L / 1e6 * snp_per_mb)
         n_small = int(L / 1e6 * small_indel_per_mb)
         n_large = int(L / 1e6 * large_indel_per_mb)
+        n_inv = int(round(L / 1e6 * inv_per_mb))
+        n_tnl = int(round(L / 1e6 * tnl_per_mb))
+        n_cnv = int(round(L / 1e6 * cnv_per_mb))
         events = []  # (pos, kind, payload)
         used = set()
 
         def pick_pos(span):
             for _ in range(100):
-                p = int(rng.integers(1, L - span - 1))
+                p = int(rng.integers(1, max(2, L - span - 1)))
                 if all(p + d not in used for d in range(-span - 1, span + 2)):
                     for d in range(-1, span + 1):
                         used.add(p + d)
                     return p
             return None
 
+        # large events first so the small ones avoid their footprint
+        for _ in range(n_inv):
+            size = int(rng.integers(1000, 2000))
+            p = pick_pos(size)
+            if p is None or p + size >= L:
+                continue
+            events.append((p, "INVERT", size))
+        for _ in range(n_tnl):
+            size = int(rng.integers(1000, 2000))
+            dist = int(rng.integers(10000, 11000))
+            p = pick_pos(size + dist + size)
+            if p is None or p + dist + 2 * size >= L:
+                continue
+            events.append((p, "TRANSLOCATE", (size, dist)))
+        for _ in range(n_cnv):
+            size = int(rng.integers(300, 1300))
+            p = pick_pos(size)
+            if p is None or p + size >= L:
+                continue
+            dup = int(rng.integers(2, 10))
+            events.append((p, "DUPLICATE", (size, dup)))
         for _ in range(n_snp):
             p = pick_pos(1)
             if p is None:
@@ -128,6 +155,8 @@ def mutate_genome(fasta_path: str, out_fasta: str, out_vcf: str,
         parts = []
         cur = 0
         for p, kind, payload in events:
+            if p < cur:
+                continue  # overlapped by a prior large event
             parts.append(codes[cur:p])
             if kind == "SUBSTITUTE":
                 parts.append(np.array([payload], dtype=np.uint8))
@@ -142,13 +171,35 @@ def mutate_genome(fasta_path: str, out_fasta: str, out_vcf: str,
                                              decode(codes[p:p + 1]) + decode(payload),
                                              "INSERT"))
                 cur = p + 1
-            else:  # DELETE `payload` bases after p
+            elif kind == "DELETE":
                 size = payload
                 parts.append(codes[p:p + 1])
                 variants.append(TruthVariant(name, p + 1,
                                              decode(codes[p:p + 1 + size]),
                                              decode(codes[p:p + 1]), "DELETE"))
                 cur = p + 1 + size
+            elif kind == "INVERT":
+                size = payload
+                parts.append(revcomp_codes(codes[p:p + size]))
+                variants.append(TruthVariant(name, p + 1, decode(codes[p:p + 1]),
+                                             "<INV>", f"INVERT;END={p + size}"))
+                cur = p + size
+            elif kind == "TRANSLOCATE":
+                size, dist = payload
+                q = p + dist + size  # second block start
+                parts.append(codes[q:q + size])
+                parts.append(codes[p + size:q])
+                parts.append(codes[p:p + size])
+                variants.append(TruthVariant(name, p + 1, decode(codes[p:p + 1]),
+                                             "<TRA>", f"TRANSLOCATE;END={q + size}"))
+                cur = q + size
+            else:  # DUPLICATE
+                size, dup = payload
+                for _ in range(dup):
+                    parts.append(codes[p:p + size])
+                variants.append(TruthVariant(name, p + 1, decode(codes[p:p + 1]),
+                                             "<DUP>", f"DUPLICATE;DUP={dup};END={p + size}"))
+                cur = p + size
         parts.append(codes[cur:])
         out_seqs.append((name, decode(np.concatenate(parts))))
 
