@@ -174,6 +174,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
         sys.stderr.write(f"usage: {argv[0]} index ref.fa prefix\n")
         return 1
+    if argv[1] == "update":
+        # the reference self-updates via `git pull` (main.cpp:194-198);
+        # deliberately not reproduced (SURVEY.md section 2a)
+        sys.stderr.write("update: use your package manager / git checkout "
+                         "to update MapCaller-TPU\n")
+        return 0
     if argv[1] == "sim":
         # SVsim-equivalent fixture generator (ref: src/sv_simulator/SVsim.cpp)
         if len(argv) >= 4:
