@@ -147,6 +147,7 @@ def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
 
     submit.collect = collect
     submit.H = H
+    submit.raw_kernel = kernel   # traceable: (fm, packed, rlens) -> packed vec
     return submit
 
 

@@ -1,27 +1,25 @@
-"""Multi-chip execution: read-batch data parallelism + genome-sharded
-PFM reduction over a jax.sharding.Mesh.
+"""Multi-chip device step: data-parallel seeding + collective evidence
+reduction over a jax.sharding.Mesh.
 
 The reference is single-node pthreads with four mutexes
-(ref: src/main.cpp:27, SURVEY section 2c); the TPU-native equivalent is:
+(ref: src/main.cpp:27, SURVEY section 2c); the TPU-native equivalent:
   * the FM-index replicated into every chip's HBM,
   * read batches sharded over the 'dp' mesh axis,
-  * per-device PFM partials merged with psum_scatter so each device
-    owns a contiguous genome slice (the caller's genome scan then runs
-    shard-locally).
+  * evidence accumulated as +1/-1 diff-array endpoints (the production
+    design, see pipeline/profile.py) and reduced with psum_scatter so
+    each device owns a contiguous genome slice,
+  * the cross-shard cumsum carry resolved with an all_gather of shard
+    totals — the same stitch the genome-sharded caller scan uses.
 """
 from __future__ import annotations
-
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..index.fmindex import FMIndex
-from ..ops.fm_device import DeviceFMIndex
-from ..ops.fm_search import MIN_SEED_LEN, OCC_THR
+from ..ops.fm_device import DeviceFMIndex, sa_resolve
+from ..ops.fm_search import _seed_scan, crumb_lookup
 
 
 def make_mesh(n_devices: int) -> Mesh:
@@ -32,36 +30,60 @@ def make_mesh(n_devices: int) -> Mesh:
 def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
                              per_device_batch: int, n_devices: int,
                              mesh: Mesh, hits_per_read: int = 8):
-    """Full mapping device step, shard_mapped over the 'dp' axis:
-    each device seeds its read shard against the replicated index,
-    scatter-adds a coverage PFM partial over the whole genome, and the
-    partials are reduce-scattered so device i owns genome slice i.
+    """Full mapping device step, shard_mapped over the 'dp' axis: each
+    device seeds its read shard (2-bit packed codes) against the
+    replicated index, builds an exact-coverage diff-array partial over
+    the whole genome, and the partials are reduce-scattered so device i
+    owns genome slice i; the coverage cumsum is stitched across shards
+    via an all_gather of shard totals.
 
-    Returns (jitted_fn, (codes, rlens)) where codes is the global batch
-    [n_devices * per_device_batch, max_len].
-    """
-    from ..ops.fm_search import build_seed_kernel
+    Returns a jitted fn (packed_codes [B_global, max_len/4], rlens
+    [B_global]) -> (cov_shard [G_pad] sharded over dp, total_hits)."""
     G = fm.genome_size
+    MIN_SEED_LEN = 16
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    B = per_device_batch
+    H = B * hits_per_read
     G_pad = ((G + n_devices - 1) // n_devices) * n_devices
-    seed_kernel_local = _seed_body(fm, max_len, per_device_batch, hits_per_read)
 
-    def device_fn(codes, rlens):
-        # codes: [per_device_batch, max_len] (this device's shard)
-        hit_rpos, hit_len, hit_loc, hit_valid = seed_kernel_local(fm, codes, rlens)
-        # PFM coverage partial: +1 over [loc, loc+len) for forward-strand
-        # hits (bounded per-seed length <= max_len)
-        loc = jnp.where(hit_valid & (hit_loc < G), hit_loc, G_pad)
-        offs = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-        span_pos = loc[:, None] + offs                       # [H, max_len]
-        span_ok = (offs < hit_len[:, None]) & (span_pos < G_pad)
-        flat = jnp.where(span_ok, span_pos, G_pad).reshape(-1)
-        pfm = jnp.zeros(G_pad + 1, dtype=jnp.int32).at[flat].add(1)[:G_pad]
-        # reduce-scatter: device i ends up owning genome slice i
-        pfm_shard = jax.lax.psum_scatter(pfm.reshape(n_devices, -1),
-                                         "dp", scatter_dimension=0,
-                                         tiled=False)
-        n_hits = hit_valid.sum()
-        return pfm_shard, jax.lax.psum(n_hits, "dp")
+    def device_fn(packed, rlens):
+        codes_fn = lambda row, pos: crumb_lookup(packed, row, pos)
+        (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
+            fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        lens = s_len.reshape(-1)
+        total = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        within = hpos - jnp.repeat(csum, freqs, total_repeat_length=H)
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total, H)
+        hit_loc, resolved = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+
+        # exact-coverage evidence partial as +1/-1 endpoints (production
+        # design: pipeline/profile.py exact_diff), forward-strand spans
+        ok = hit_valid & resolved & (hit_loc < G)
+        start = jnp.where(ok, hit_loc, G_pad)
+        end = jnp.where(ok, jnp.minimum(hit_loc + hit_len, G), G_pad)
+        diff = (jnp.zeros(G_pad + 1, dtype=jnp.int32)
+                .at[start].add(1).at[end].add(-1))[:G_pad]
+
+        # reduce-scatter: device i owns genome slice i of the summed diff
+        diff_shard = jax.lax.psum_scatter(diff.reshape(n_devices, -1),
+                                          "dp", scatter_dimension=0,
+                                          tiled=False)
+        # stitch the cumsum across shards: all_gather shard totals and
+        # offset by the prefix owned by lower-indexed shards
+        my = jax.lax.axis_index("dp")
+        totals = jax.lax.all_gather(diff_shard.sum(), "dp")
+        base = jnp.where(jnp.arange(n_devices) < my, totals, 0).sum()
+        cov_shard = base + jnp.cumsum(diff_shard)
+        return cov_shard, jax.lax.psum(ok.sum(), "dp")
 
     fn = jax.jit(
         jax.shard_map(device_fn, mesh=mesh,
@@ -69,24 +91,3 @@ def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
                       out_specs=(P("dp"), P()))
     )
     return fn
-
-
-def _seed_body(fm: DeviceFMIndex, max_len: int, batch: int, hits_per_read: int):
-    """Per-device seeding body (same state machine as
-    ops/fm_search.build_seed_kernel, trimmed to the outputs the
-    multichip PFM step needs)."""
-    from ..ops.fm_search import build_seed_kernel
-    inner = build_seed_kernel(fm, max_len, batch, hits_per_read)
-
-    H = inner.H
-
-    def body(fm_arg, codes, rlens):
-        packed = inner.raw_kernel(fm_arg, codes, rlens)
-        meta = packed[0:H]
-        hit_loc = packed[H:2 * H]
-        hit_len = meta & 0x1FF
-        hit_rpos = (meta >> 9) & 0x1FF
-        hit_valid = hit_len > 0
-        return hit_rpos, hit_len, hit_loc, hit_valid
-
-    return body
