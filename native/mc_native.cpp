@@ -1719,6 +1719,132 @@ i64 mc_event_seq_total(void* ctx) {
   return t;
 }
 
+// SA-IS suffix-array construction (offline index build). The reference
+// uses BWT-SW incremental construction (ref: src/BWT_Index/bwt_gen.c);
+// here a linear-time SA-IS over the full text replaces it — the .bwt /
+// sampled-SA artifacts are derived from SA on the Python side
+// (index/suffix.py keeps the NumPy prefix-doubling fallback as oracle).
+// int32 positions: texts up to 2^31-1 (fwd+rc of a ~1 Gbp genome).
+
+static void sais_core(const i32* T, i32* SA, i32 n, i32 K, i32* unused) {
+  (void)unused;
+  if (n == 1) { SA[0] = 0; return; }
+  vector<unsigned char> stype(n);
+  stype[n - 1] = 1;  // sentinel is S
+  for (i32 i = n - 2; i >= 0; i--)
+    stype[i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1])) ? 1 : 0;
+  auto is_lms = [&](i32 i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  vector<i32> cnt(K, 0), bkt(K);
+  for (i32 i = 0; i < n; i++) cnt[T[i]]++;
+
+  // 1) place LMS suffixes at bucket ends (arbitrary order), induce
+  std::fill(SA, SA + n, -1);
+  {
+    i32 acc = 0;
+    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (i32 i = n - 1; i >= 1; i--)
+      if (is_lms(i)) SA[--bkt[T[i]]] = i;
+  }
+  {
+    // induce with -1 guards
+    i32 acc = 0;
+    bkt[0] = 0;
+    for (i32 c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
+    for (i32 i = 0; i < n; i++) {
+      i32 j = SA[i];
+      if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+    }
+    acc = 0;
+    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (i32 i = n - 1; i >= 0; i--) {
+      i32 j = SA[i];
+      if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
+    }
+  }
+
+  // 2) name sorted LMS substrings
+  i32 n1 = 0;
+  for (i32 i = 0; i < n; i++)
+    if (SA[i] > 0 && is_lms(SA[i])) SA[n1++] = SA[i];
+  i32* s1 = SA + n1;                 // reuse tail of SA for names
+  std::fill(s1, SA + n, -1);
+  i32 name = 0;
+  i32 prev = -1;
+  for (i32 i = 0; i < n1; i++) {
+    i32 pos = SA[i];
+    bool diff = false;
+    if (prev < 0) diff = true;
+    else {
+      for (i32 d = 0; ; d++) {
+        if (T[pos + d] != T[prev + d] || stype[pos + d] != stype[prev + d]) {
+          diff = true; break;
+        }
+        if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
+          diff = !(is_lms(pos + d) && is_lms(prev + d));
+          break;
+        }
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    s1[(pos >> 1)] = name - 1;
+  }
+  vector<i32> lms_pos;
+  lms_pos.reserve(n1);
+  vector<i32> t1;
+  t1.reserve(n1);
+  for (i32 i = 1; i < n; i++)
+    if (is_lms(i)) lms_pos.push_back(i);
+  for (i32 i = 0; i < (i32)lms_pos.size(); i++)
+    t1.push_back(s1[lms_pos[i] >> 1]);
+
+  // 3) order LMS suffixes: recurse if names collide
+  vector<i32> sa1(n1);
+  if (name < n1) {
+    sais_core(t1.data(), sa1.data(), n1, name, nullptr);
+  } else {
+    for (i32 i = 0; i < n1; i++) sa1[t1[i]] = i;
+  }
+
+  // 4) final induced sort from correctly ordered LMS suffixes
+  std::fill(SA, SA + n, -1);
+  {
+    i32 acc = 0;
+    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (i32 i = n1 - 1; i >= 0; i--) {
+      i32 j = lms_pos[sa1[i]];
+      SA[--bkt[T[j]]] = j;
+    }
+  }
+  {
+    bkt[0] = 0;
+    for (i32 c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
+    for (i32 i = 0; i < n; i++) {
+      i32 j = SA[i];
+      if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+    }
+    i32 acc = 0;
+    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (i32 i = n - 1; i >= 0; i--) {
+      i32 j = SA[i];
+      if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
+    }
+  }
+}
+
+extern "C" {
+// text: 2-bit codes (0..3), length n. Fills sa[n] with the suffix order
+// of the text WITHOUT a sentinel row (matching index/suffix.py).
+void mc_build_suffix_array(const unsigned char* text, i64 n, i32* sa) {
+  vector<i32> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = (i32)text[i] + 1;
+  T[n] = 0;  // unique smallest sentinel
+  vector<i32> SA(n + 1);
+  sais_core(T.data(), SA.data(), (i32)(n + 1), 5, nullptr);
+  // SA[0] is the sentinel suffix; the rest is the sentinel-free order
+  memcpy(sa, SA.data() + 1, n * sizeof(i32));
+}
+}  // extern "C"
+
 // standalone aligner entries (for tests)
 void mc_nw(const char* s1, const char* s2, char* o1, char* o2) {
   string a1 = s1, a2 = s2;
