@@ -175,14 +175,14 @@ def build_index(fasta_path: str, prefix: Optional[str] = None,
 
     bwt_words = pack_words(bwt)
 
-    # Occ checkpoints every 128 entries of the $-removed BWT.
+    # Occ checkpoints every 128 entries of the $-removed BWT:
+    # per-symbol block sums + cumsum (no [n,4] materialization).
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-    onehot = np.zeros((n, 4), dtype=np.int64)
-    onehot[np.arange(n), bwt] = 1
-    cum = np.cumsum(onehot, axis=0)
     ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
-    for b in range(1, n_blocks + 1):
-        ckpt[b] = cum[min(b * OCC_INTERVAL, n) - 1]
+    starts = np.arange(0, n, OCC_INTERVAL)
+    for c in range(4):
+        block = np.add.reduceat((bwt == c).astype(np.int32), starts)
+        ckpt[1:, c] = np.cumsum(block, dtype=np.int64)
 
     # SA sampled every 32 full rows; full SA = [n] + sa.
     n_sa = (n + SA_INTERVAL) // SA_INTERVAL
