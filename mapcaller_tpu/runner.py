@@ -26,8 +26,13 @@ def _log(cfg: Config, msg: str) -> None:
 
 
 def run_pipeline(cfg: Config, cmd_line: str) -> int:
-    from . import enable_compilation_cache
+    from . import enable_compilation_cache, tune_host_allocator
+    tune_host_allocator()
     enable_compilation_cache()
+    trace_dir = os.environ.get("MC_PROFILE")
+    if trace_dir:
+        import jax
+        jax.profiler.start_trace(trace_dir)
     t_start = time.time()
     temp_prefix = None
     if cfg.ref_fasta is not None and cfg.index_prefix is None:
@@ -42,14 +47,19 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
     idx = load_index(cfg.index_prefix)
 
     engine = make_engine(idx, cfg)
+    metrics = {"version": VERSION_STR, "command": cmd_line}
     try:
+        t0 = time.time()
         run_mapping(engine, cfg, t_start)
+        metrics["mapping_seconds"] = round(time.time() - t0, 3)
         if engine.profile is not None and (cfg.obs_pos >= 0 or cfg.obr_beg >= 0):
             from .tools import observe
             observe(engine.genome, engine.profile, engine.ref_chars,
                     cfg.obs_pos, cfg.obr_beg, cfg.obr_end)
         if cfg.vcf_output:
-            run_calling(engine, cfg, cmd_line)
+            t0 = time.time()
+            metrics["variant_counts"] = run_calling(engine, cfg, cmd_line)
+            metrics["calling_seconds"] = round(time.time() - t0, 3)
     finally:
         if temp_prefix:
             for ext in (".mci.npz", ".mci.json"):
@@ -57,7 +67,21 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
                     os.remove(temp_prefix + ext)
                 except OSError:
                     pass
-    _log(cfg, f"All done! It took {int(time.time() - t_start)} seconds to complete the data analysis.")
+        if trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+            sys.stderr.write(f"[profile] jax trace written to {trace_dir}\n")
+    st = engine.stats
+    total_s = time.time() - t_start
+    metrics.update(total_reads=st.total_reads, mapped=st.total_mapped,
+                   paired=st.total_paired * 2, avg_coverage=st.avg_cov,
+                   fragment_size=st.fragment_size,
+                   reads_per_sec=round(st.total_reads / max(total_s, 1e-9), 1),
+                   total_seconds=round(total_s, 3))
+    _log(cfg, f"All done! It took {int(total_s)} seconds to complete the data analysis.")
+    import json as _json
+    with open(cfg.log_file, "a") as f:
+        f.write(_json.dumps(metrics) + "\n")   # structured summary line
     return 0
 
 
@@ -182,7 +206,7 @@ def _finish_mapping(engine: MappingEngine, cfg: Config, sam_fh, bam_writer,
                   f"size = {st.fragment_size}, insert size = {st.avg_dist - st.avg_read_length}")
 
 
-def run_calling(engine: MappingEngine, cfg: Config, cmd_line: str) -> None:
+def run_calling(engine: MappingEngine, cfg: Config, cmd_line: str) -> dict:
     from .calling.caller import (VAR_DEL, VAR_INS, VAR_INV, VAR_SUB, VAR_TNL,
                                  cal_block_read_depth, identify_break_point_candidates,
                                  identify_sv, identify_variants,
@@ -217,3 +241,6 @@ def run_calling(engine: MappingEngine, cfg: Config, cmd_line: str) -> None:
     _log(cfg, f"\t{counts[VAR_SUB]}(snp); {counts[VAR_INS]}(ins); {counts[VAR_DEL]}(del); "
               f"{counts[VAR_TNL] >> 1}(trans); {counts[VAR_INV] >> 1}(inversion)")
     _log(cfg, f"variant calling has been done in {int(time.time() - t0)} seconds.")
+    return {"snv": counts[VAR_SUB], "ins": counts[VAR_INS],
+            "del": counts[VAR_DEL], "translocation": counts[VAR_TNL] >> 1,
+            "inversion": counts[VAR_INV] >> 1}
