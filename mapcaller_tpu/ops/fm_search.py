@@ -238,10 +238,25 @@ def _seed_scan(fm, codes_fn, rlens, B, max_len, max_seeds, has_n):
     zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
     state = (z, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
     n_iters = max_len + 2 * max_seeds + 2
-    # unroll: tunneled platforms pay a fixed latency per loop step, and
-    # the per-step compute (a batch of occ4 gathers) underfills the chip
-    state = jax.lax.fori_loop(0, n_iters, lambda _, s: step(s), state,
-                              unroll=16)
+    # Early-exit while_loop over 16-step unrolled blocks: every read is
+    # done after ~rlen + 2*seeds steps, so short reads stop early, and
+    # the device-side cond costs one reduction per 16 gathers-steps.
+    UNROLL = 16
+    n_blocks = (n_iters + UNROLL - 1) // UNROLL
+
+    def block_cond(carry):
+        i, s = carry
+        pos, in_ext = s[0], s[1]
+        active = in_ext | (pos < rlens - MIN_SEED_LEN)
+        return (i < n_blocks) & jnp.any(active)
+
+    def block_body(carry):
+        i, s = carry
+        for _ in range(UNROLL):
+            s = step(s)
+        return i + 1, s
+
+    _, state = jax.lax.while_loop(block_cond, block_body, (jnp.int32(0), state))
     (_, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
      overflow) = state
     return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow
