@@ -62,7 +62,23 @@ def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
 
     def kernel(fm: DeviceFMIndex, packed: jnp.ndarray, rlens: jnp.ndarray):
         B = batch
-        codes_fn = lambda row, pos: crumb_lookup(packed, row, pos)
+        # pre-assemble the whole read as uint32 words (16 crumbs each):
+        # code lookups then become an 8/16-way one-hot select over the
+        # word columns — pure VPU ops instead of per-lane gathers, which
+        # are the kernel's scarce resource (~70M gathers/s on TPU).
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words = (pb << sh).sum(axis=2, dtype=jnp.uint32)     # [B, nwords]
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words, 0).sum(axis=1, dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
         (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
             fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
 
