@@ -7,7 +7,6 @@ Same flag surface as the reference binary:
 from __future__ import annotations
 
 import os
-import random
 import sys
 import time
 from typing import List, Optional

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import List, Optional
+from typing import List
 
 from ..genome import Genome
 

@@ -6,7 +6,7 @@ coordinates / TLEN, NM/AS/XS tags.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

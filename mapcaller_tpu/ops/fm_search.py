@@ -15,7 +15,7 @@ inverse-Psi in lockstep (<= 31 masked steps, ref: bwt_search.cpp:109-119).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from typing import Callable, List
 
 from ..dna import revcomp_str
 from ..genome import Genome
-from .chaining import AlnCan
 from .read import ReadState
 from .seeding import FragPair
 

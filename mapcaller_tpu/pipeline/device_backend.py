@@ -15,7 +15,7 @@ import numpy as np
 from ..config import Config
 from ..index.fmindex import FMIndex
 from ..ops.fm_device import DeviceFMIndex
-from ..ops.fm_search import build_seed_kernel, seeds_to_frag_pairs
+from ..ops.fm_search import build_seed_kernel
 from .seeding import identify_simple_pairs
 
 

@@ -7,13 +7,11 @@ import random
 import string
 import sys
 import time
-from typing import List, Optional
 
 from .cli import VERSION_STR
 from .config import Config
-from .genome import Genome
 from .index.fmindex import FMIndex, build_index, index_exists, load_index
-from .io.fastq import check_read_format, iter_chunks
+from .io.fastq import iter_chunks
 from .io.sam import sam_headers
 from .pipeline.engine import MappingEngine
 from .pipeline.read import ReadState
