@@ -97,11 +97,11 @@ def main():
     run_calling(engine, cfg, "bench-warmup")
     cold_reads = engine.stats.total_reads
 
-    # timed: best of 2 steady-state passes (the VM's page-fault and
+    # timed: best of 3 steady-state passes (the VM's page-fault and
     # tunnel-latency noise can double a single pass; see BASELINE.md)
     from mapcaller_tpu.pipeline.engine import MappingEngine
     map_time = call_time = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         engine = MappingEngine(idx, cfg, backend=engine.backend)
         t0 = time.time()
         run_stream_mapping(engine, cfg, t0)
