@@ -4,9 +4,10 @@ Single pass over the accumulated evidence tables producing SUB / INS /
 DEL / UMR / CNV / gVCF-NOR / monomorphic records, plus breakpoint
 clustering and INV/TNL detection from discordant-pair histograms.
 
-This is the host mirror with the reference's exact thresholds and
-quirks; calling/scan_device.py provides the vectorized genome scan used
-on TPU for the depth/SNV part.
+This is the production caller with the reference's exact thresholds and
+quirks. The dense genome-axis math (_identify_variants_vec) is
+vectorized NumPy on host; a scalar per-position oracle backs the
+property tests.
 """
 from __future__ import annotations
 

@@ -51,6 +51,8 @@ class BgzfWriter:
             del self._buf[:_BGZF_MAX_PAYLOAD]
 
     def close(self) -> None:
+        if self._fh.closed:
+            return
         if self._buf:
             self._fh.write(_bgzf_block(bytes(self._buf)))
             self._buf.clear()

@@ -62,7 +62,8 @@ def load_lib():
                                               C.c_void_p, C.c_void_p,
                                               C.c_int32, C.c_int32]
         lib.mc_read_seq.restype = C.c_int32
-        lib.mc_read_seq.argtypes = [C.c_void_p, C.c_int32, C.c_int32, C.c_char_p]
+        lib.mc_read_seq.argtypes = [C.c_void_p, C.c_int32, C.c_int32,
+                                    C.c_char_p, C.c_int32]
         lib.mc_process_batch.argtypes = [
             C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_void_p,
             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
@@ -180,8 +181,13 @@ class NativeEngine:
 
     def read_codes(self, slot: int, i: int) -> np.ndarray:
         """Full codes of one read (too-long-for-bucket fallback)."""
-        buf = C.create_string_buffer(1 << 20)
-        n = self.lib.mc_read_seq(self.ctx, slot, i, buf)
+        cap = 1 << 20
+        buf = C.create_string_buffer(cap)
+        n = self.lib.mc_read_seq(self.ctx, slot, i, buf, cap)
+        if n > cap:  # pathological FASTA record longer than 1 MiB
+            cap = n
+            buf = C.create_string_buffer(cap)
+            n = self.lib.mc_read_seq(self.ctx, slot, i, buf, cap)
         from .dna import encode
         return encode(buf.raw[:n].decode())
 

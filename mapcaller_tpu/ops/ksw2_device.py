@@ -18,6 +18,8 @@ host backtrack mirrors ksw_backtrack (ksw2_alignment.cpp:25-68).
 """
 from __future__ import annotations
 
+import functools
+
 from typing import List, Tuple
 
 import jax
@@ -43,6 +45,7 @@ def _bounds(qlen: int, tlen: int, r: int) -> Tuple[int, int, int, int]:
     return st0, en0, st // 16 * 16, (en + 16) // 16 * 16 - 1
 
 
+@functools.lru_cache(maxsize=None)
 def build_ksw2_kernel(M: int, N: int):
     """Returns jitted fn(qbuf uint8[B,M], target uint8[B,NC], qlen, tlen
     int32[B]) -> p uint8[B, M+N-1, NC] direction flags. NC = padded N."""

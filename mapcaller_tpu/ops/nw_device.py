@@ -22,6 +22,8 @@ Runs on TPU via pallas_call; `interpret=True` is used on CPU (tests).
 """
 from __future__ import annotations
 
+import functools
+
 from typing import List, Tuple
 
 import jax
@@ -78,6 +80,7 @@ def _row_sweep(c1_row, c2, t_prev, s_prev, i):
     return t_cur, r_cur, s_cur, dirs
 
 
+@functools.lru_cache(maxsize=None)
 def build_nw_kernel(M: int, N: int, tile: int = 64, interpret: bool = False):
     """Returns fn(c1 uint8[B,M], c2 uint8[B,N], m int32[B], n int32[B])
     -> (dirs int32[B, M+1, N+1], score int32[B]) for B a multiple of tile.

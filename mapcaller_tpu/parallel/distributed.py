@@ -14,7 +14,18 @@ keeps every accumulator a pure commutative reduction, so scale-out is:
   * saturation (MaxAlleleCount, dup cap) is applied AFTER the global
     reduction — for pure +1 streams cap-after-sum equals the
     reference's per-increment caps, so the merged result is what a
-    single sequential run over all reads would produce,
+    single sequential run over all reads would produce.
+
+    Known divergence: the PCR-duplicate gate (profile.py update_profile,
+    ref: AlignmentProfile.cpp:76 — skip a read's evidence entirely once
+    read_count[g_start] >= max_duplicate) is applied per shard BEFORE
+    the merge, so up to n_hosts * max_duplicate same-start reads can
+    contribute evidence where a sequential run admits max_duplicate.
+    The merged read_count itself is capped at max_duplicate below, so
+    the VCF RC field matches; per-base allele depths can exceed the
+    sequential run's on duplicate-heavy data. To preserve the gate
+    exactly, shard reads so same-start duplicates co-locate (e.g. hash
+    by mate-1 name) — the default round-robin sharding does not.
   * the variant-calling scan is genome-sharded (embarrassingly parallel
     in _identify_variants_vec) with gap/CNV runs stitched at shard
     boundaries by construction (the RLE is computed on the full state
@@ -56,7 +67,10 @@ def merge_engines(engines: List[MappingEngine]) -> MappingEngine:
                 rp.multi_hit += p.multi_hit
                 np.minimum(rp.multi_hit, MAX_ALLELE_COUNT, out=rp.multi_hit)
             rp.read_count += p.read_count
-            np.minimum(rp.read_count, 15, out=rp.read_count)
+            # cap at the configured dup gate (ref: main.cpp:240-243 caps
+            # -dup at 15; the gate itself is cfg.max_duplicate)
+            np.minimum(rp.read_count, root.cfg.max_duplicate,
+                       out=rp.read_count)
             for pos, cnt in p.break_point.items():
                 rp.break_point[pos] = rp.break_point.get(pos, 0) + cnt
             for src, dst in ((p.insert_map, rp.insert_map),

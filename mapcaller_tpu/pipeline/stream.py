@@ -47,7 +47,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         fastq = buf1[:1] == b"@"
         native.set_input(buf1, buf2, cfg.pair_interleaved)
 
-        sb = max(cfg.stream_batch_size, 256)
+        # device kernels require batch % 32 == 0 (fm_search assertions)
+        sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
         slot = 0
         pending = None   # (slot, n, token)
         while True:

@@ -109,6 +109,20 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
         for line in headers:
             sam_fh.write(line + "\n")
 
+    # writers must flush/close even if mapping raises (a truncated BAM
+    # without its BGZF EOF marker is worse than a missing one)
+    try:
+        _run_mapping_body(engine, cfg, t_start, sam_fh, bam_writer)
+    finally:
+        if sam_fh and sam_fh is not sys.stdout:
+            sam_fh.close()
+        if bam_writer:
+            bam_writer.close()
+    _finish_mapping(engine, cfg, sam_fh, bam_writer, t_start)
+
+
+def _run_mapping_body(engine: MappingEngine, cfg: Config, t_start: float,
+                      sam_fh, bam_writer) -> None:
     if engine.native is not None and engine.backend is not None:
         # fast path: native parsing/processing + device seeding, overlapped
         from .pipeline.stream import run_stream_mapping
@@ -122,7 +136,6 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
 
         run_stream_mapping(engine, cfg, t_start,
                            sam_sink if (sam_fh or bam_writer) else None)
-        _finish_mapping(engine, cfg, sam_fh, bam_writer, t_start)
         return
 
     n_lib = len(cfg.read_files1)
@@ -175,15 +188,10 @@ def run_mapping(engine: MappingEngine, cfg: Config, t_start: float) -> None:
         if pending is not None:
             process(*pending)
     sys.stderr.write("\n")
-    _finish_mapping(engine, cfg, sam_fh, bam_writer, t_start)
 
 
 def _finish_mapping(engine: MappingEngine, cfg: Config, sam_fh, bam_writer,
                     t_start: float) -> None:
-    if sam_fh and sam_fh is not sys.stdout:
-        sam_fh.close()
-    if bam_writer:
-        bam_writer.close()
     engine.finalize()
     st = engine.stats
     _log(cfg, f"All the {st.total_reads} reads have been processed in "

@@ -256,7 +256,11 @@ static void ksw2_align(string& s1, string& s2) {
     }
     last_st = st; last_en = en;
   }
-  // backtrack (ref: ksw2_alignment.cpp:25-68)
+  // backtrack (ref: ksw2_alignment.cpp:25-68). The state/force_state
+  // control flow follows Heng Li's public ksw2 (ksw_backtrack, MIT
+  // license, github.com/lh3/ksw2) — that algorithm IS the bit-identical
+  // CIGAR contract; the DP above is an original scalar re-derivation of
+  // the SSE kernel in integer difference form.
   int i = tlen - 1, j = qlen - 1, state = 0;
   string cig;
   while (i >= 0 && j >= 0) {
@@ -1618,11 +1622,14 @@ void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
   for (i32 i = b.n; i < cap; i++) rlens[i] = 0;
 }
 
-// copy one read's raw seq out (oracle-fallback path for too-long reads)
-i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf) {
+// copy one read's raw seq out (oracle-fallback path for too-long reads);
+// copies at most `cap` bytes, returns the full length so the caller can
+// resize its buffer and retry when cap was too small
+i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf, i32 cap) {
   (void)ctx;
   const string& s = g_stream.slot[slot_idx & 1].reads[i].seq;
-  memcpy(buf, s.data(), s.size());
+  size_t n = s.size() < (size_t)cap ? s.size() : (size_t)cap;
+  memcpy(buf, s.data(), n);
   return (i32)s.size();
 }
 
