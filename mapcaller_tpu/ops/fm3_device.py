@@ -1,0 +1,189 @@
+"""Device-resident 3-step FM-index lookups (see index/occ3.py for the
+table layout and conventions).
+
+Everything the greedy-MEM state machine needs per iteration derives
+from TWO gathered 288-byte occ3 rows (interval start and end):
+
+  * the 3-step interval update for the prepended trinucleotide,
+  * the 1-step update (tail bases / exact-MEM-end replay) via group
+    sums over the 64 counts plus the row_p1/row_p2 corrections,
+  * the forward-interval (x0) ordering sums via the arithmetic
+    bit-reversal rev3(d) = 63 - ((d&3)*16 + (d&12) + (d>>4)).
+
+Replaces the per-base occ4 pair of ops/fm_device.py in the seeding hot
+loop (ref: src/bwt_search.cpp:121-164): ~3x fewer sequential gathers.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..index.occ3 import build_occ3
+from .fm_device import DeviceFMIndex
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DeviceFM3:
+    fm: DeviceFMIndex          # 1-step table (sa_resolve / inv_psi) + L2
+    occ3_rows: jnp.ndarray     # int32[nw3, 72]
+    c3_first: jnp.ndarray      # int32[64]
+    row_p1: int                # static correction constants
+    row_p2: int
+    t0: int
+    t1: int
+    tail1: int
+    tail2a: int
+    tail2b: int
+
+    def tree_flatten(self):
+        return ((self.fm, self.occ3_rows, self.c3_first),
+                (self.row_p1, self.row_p2, self.t0, self.t1,
+                 self.tail1, self.tail2a, self.tail2b))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # convenience pass-throughs for the shared scan/compaction code
+    @property
+    def L2(self):
+        return self.fm.L2
+
+    @property
+    def primary(self):
+        return self.fm.primary
+
+    @property
+    def seq_len(self):
+        return self.fm.seq_len
+
+    @classmethod
+    def from_host(cls, idx: FMIndex,
+                  dev_fm: DeviceFMIndex | None = None) -> "DeviceFM3":
+        if idx.sa_full is None:
+            raise NotImplementedError("occ3 build requires sa_full (use the "
+                                      "1-step kernel for >1Gbp genomes)")
+        tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
+        fm = dev_fm if dev_fm is not None else DeviceFMIndex.from_host(idx)
+        return cls(fm=fm,
+                   occ3_rows=jnp.asarray(tab.rows),
+                   c3_first=jnp.asarray(tab.c3_first),
+                   row_p1=tab.row_p1, row_p2=tab.row_p2,
+                   t0=tab.t0, t1=tab.t1, tail1=tab.tail1,
+                   tail2a=tab.tail2a, tail2b=tab.tail2b)
+
+
+def gather3(fm3: DeviceFM3, i: jnp.ndarray):
+    """One row gather: (cnt64 int32[...,64], syms int32[...,16], m=i&15).
+    Symbol bytes unpack via one bitcast (no per-byte shifts)."""
+    row = fm3.occ3_rows[i >> 4]
+    cnt64 = row[..., :64]
+    sym_bytes = jax.lax.bitcast_convert_type(row[..., 64:68], jnp.uint8)
+    syms = sym_bytes.reshape(sym_bytes.shape[:-2] + (16,)).astype(jnp.int32)
+    return cnt64, syms, (i & 15)
+
+
+_QPOS = np.arange(16, dtype=np.int32)
+_D64 = np.arange(64, dtype=np.int32)
+
+
+def occ3_d(cnt64, syms, m, onehot_d, d):
+    """Occ3(d, i): # rows j < i with symbol d. onehot_d bool[...,64] is
+    shared across call sites (avoids per-lane gathers on TPU)."""
+    base = jnp.where(onehot_d, cnt64, 0).sum(axis=-1)
+    part = ((syms == d[..., None]) &
+            (_QPOS[None, :] < m[..., None])).sum(axis=-1)
+    return base + part
+
+
+def occ1_4(fm3: DeviceFM3, cnt64, syms, m, i):
+    """Derived 1-step counts for all 4 bases at row index i
+    (== bwa bwt_occ4(i-1), ref: src/bwt_search.cpp:49-66): group sums of
+    the 64 trinucleotide counts by last base + the two excluded-row
+    corrections (rows p=1, p=2 have 1-char contexts T[0], T[1])."""
+    B = cnt64.shape[:-1]
+    grp = cnt64.reshape(B + (16, 4)).sum(axis=-2)            # [...,4]
+    valid = (syms < 64) & (_QPOS[None, :] < m[..., None])
+    lane_c = syms & 3
+    part = jnp.stack([(valid & (lane_c == c)).sum(axis=-1) for c in range(4)],
+                     axis=-1)
+    out = grp + part
+    # rows p=1/p=2 precede row index i => their 1-char contexts count
+    corr1 = (i > fm3.row_p1).astype(jnp.int32)
+    corr2 = (i > fm3.row_p2).astype(jnp.int32)
+    oh1 = jnp.zeros(4, jnp.int32).at[fm3.t0].set(1)   # t0/t1 are static
+    oh2 = jnp.zeros(4, jnp.int32).at[fm3.t1].set(1)
+    return out + corr1[..., None] * oh1 + corr2[..., None] * oh2
+
+
+_REV3 = 63 - ((_D64 & 3) * 16 + (_D64 & 12) + (_D64 >> 4))
+
+
+def rev3_lt_w_sum(cnt64, syms, m, w):
+    """For the x0 ordering update: checkpoint part
+    sum_d cnt64[d]*[rev3(d) < w] and within-word part
+    #\\{q < m : sym_q valid, rev3(sym_q) < w\\}. Returns their sum."""
+    mask = _REV3[None, :] < w[..., None]
+    base = jnp.where(mask, cnt64, 0).sum(axis=-1)
+    rev_s = 63 - ((syms & 3) * 16 + (syms & 12) + (syms >> 4))
+    part = ((syms < 64) & (rev_s < w[..., None]) &
+            (_QPOS[None, :] < m[..., None])).sum(axis=-1)
+    return base + part
+
+
+def step3_update(fm3: DeviceFM3, x0, x1, x2, e0, e1, e2, gk, gl):
+    """3-step interval update for appending read bases e0,e1,e2 (forward
+    order). gk/gl = gather3 results at x1 and x1+x2.
+    Returns (new_x0, new_x1, new_x2)."""
+    cntK, symsK, mK = gk
+    cntL, symsL, mL = gl
+    d = (3 - e2) * 16 + (3 - e1) * 4 + (3 - e0)
+    w = e0 * 16 + e1 * 4 + e2
+    onehot_d = _D64[None, :] == d[..., None]
+    tk3 = occ3_d(cntK, symsK, mK, onehot_d, d)
+    tl3 = occ3_d(cntL, symsL, mL, onehot_d, d)
+    new_x1 = jnp.where(onehot_d, fm3.c3_first[None, :], 0).sum(axis=-1) + tk3
+    new_x2 = tl3 - tk3
+    lo, hi = x1, x1 + x2   # interval [lo, hi)
+    x0_extra = rev3_lt_w_sum(cntL, symsL, mL, w) - rev3_lt_w_sum(cntK, symsK, mK, w)
+
+    def contains(r):
+        return ((lo <= r) & (r < hi)).astype(jnp.int32)
+
+    cmp1 = (fm3.tail1 <= e0).astype(jnp.int32)
+    cmp2 = ((fm3.tail2a < e0) |
+            ((fm3.tail2a == e0) & (fm3.tail2b <= e1))).astype(jnp.int32)
+    adj = (contains(fm3.primary) + contains(fm3.row_p1) * cmp1
+           + contains(fm3.row_p2) * cmp2)
+    new_x0 = x0 + adj + x0_extra
+    return new_x0, new_x1, new_x2
+
+
+def step1_update(fm3: DeviceFM3, x0, x1, x2, e0, gk, gl):
+    """Derived 1-step update for appending read base e0 — identical
+    semantics to the occ4 ladder in fm_search._seed_scan
+    (ref: src/bwt_search.cpp:121-164 / bwa bwt_extend)."""
+    L2 = fm3.L2
+    cntK, symsK, mK = gk
+    cntL, symsL, mL = gl
+    tk = occ1_4(fm3, cntK, symsK, mK, x1)
+    tl = occ1_4(fm3, cntL, symsL, mL, x1 + x2)
+    ok_x1 = L2[:4][None, :] + 1 + tk
+    ok_x2 = tl - tk
+    adj = ((x1 <= fm3.primary) & (x1 + x2 - 1 >= fm3.primary)).astype(x0.dtype)
+    ok3_x0 = x0 + adj
+    ok2_x0 = ok3_x0 + ok_x2[:, 3]
+    ok1_x0 = ok2_x0 + ok_x2[:, 2]
+    ok0_x0 = ok1_x0 + ok_x2[:, 1]
+    ok_x0 = jnp.stack([ok0_x0, ok1_x0, ok2_x0, ok3_x0], axis=-1)
+    ci = 3 - e0
+    onehot_c = (jnp.arange(4, dtype=jnp.int32)[None, :] == ci[:, None])
+    new_x0 = jnp.where(onehot_c, ok_x0, 0).sum(axis=-1)
+    new_x1 = jnp.where(onehot_c, ok_x1, 0).sum(axis=-1)
+    new_x2 = jnp.where(onehot_c, ok_x2, 0).sum(axis=-1)
+    return new_x0, new_x1, new_x2

@@ -38,7 +38,115 @@ def crumb_lookup(packed: jnp.ndarray, row: jnp.ndarray,
     return (byte >> ((pos & 3) * 2)) & 3
 
 
-def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
+def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds):
+    """Greedy-MEM state machine on the 3-step occ table (ops/fm3_device):
+    extensions advance 3 bases per iteration (2 gathers) while >=3 bases
+    remain; on a 3-step failure the lane replays from the saved state
+    with derived 1-steps to find the exact MEM end (<=3 iterations, no
+    extra table); tail bases (<3 left) use derived 1-steps too. Seed set
+    is bit-identical to _seed_scan / BWT_Search (ref: bwt_search.cpp:
+    121-164)."""
+    from .fm3_device import gather3, step1_update, step3_update
+    L2 = fm3.L2
+    primary = fm3.primary
+
+    def step(state):
+        (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        stop_pos = rlens - MIN_SEED_LEN
+        done = (~in_ext) & (pos >= stop_pos)
+        active = ~done
+
+        cpos = codes_fn(bidx, jnp.minimum(pos, max_len - 1))
+        start_new = active & (~in_ext)
+
+        ext_active = active & in_ext
+        at_end = ext_active & (ext_pos >= rlens)
+        extending = ext_active & ~at_end
+        use3 = extending & (~replay) & (ext_pos + 3 <= rlens)
+        use1 = extending & ~use3
+
+        e0 = codes_fn(bidx, jnp.minimum(ext_pos, max_len - 1))
+        e1 = codes_fn(bidx, jnp.minimum(ext_pos + 1, max_len - 1))
+        e2 = codes_fn(bidx, jnp.minimum(ext_pos + 2, max_len - 1))
+
+        k = jnp.where(extending, x1, 0)
+        l = jnp.where(extending, x1 + x2, 0)
+        gk = gather3(fm3, k)
+        gl = gather3(fm3, l)
+        n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2, gk, gl)
+        n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
+
+        fail3 = use3 & (n3_x2 <= 0)     # exact end within these 3 bases
+        ok3 = use3 & ~fail3
+        fail1 = use1 & (n1_x2 <= 0)
+        ok1 = use1 & ~fail1
+
+        finalize = at_end | fail1
+        slen = ext_pos - start
+        good = finalize & (slen >= MIN_SEED_LEN) & (x2 <= OCC_THR)
+        slot = jnp.minimum(n_seeds, max_seeds - 1)
+        overflow = overflow | (finalize & good & (n_seeds >= max_seeds))
+
+        onehot = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :] == slot[:, None]
+                  ) & good[:, None]
+
+        def put(arr, val):
+            return jnp.where(onehot, val[:, None], arr)
+
+        s_rpos = put(s_rpos, start)
+        s_len = put(s_len, slen)
+        s_x0 = put(s_x0, x0)
+        s_freq = put(s_freq, x2)
+        n_seeds = jnp.where(good, jnp.minimum(n_seeds + 1, max_seeds), n_seeds)
+
+        pos = jnp.where(finalize, start + slen + 1, pos)
+        x0 = jnp.where(start_new, L2[cpos & 3] + 1,
+             jnp.where(ok3, n3_x0, jnp.where(ok1, n1_x0, x0)))
+        x1 = jnp.where(start_new, L2[(3 - cpos) & 3] + 1,
+             jnp.where(ok3, n3_x1, jnp.where(ok1, n1_x1, x1)))
+        x2 = jnp.where(start_new, L2[(cpos & 3) + 1] - L2[cpos & 3],
+             jnp.where(ok3, n3_x2, jnp.where(ok1, n1_x2, x2)))
+        start = jnp.where(start_new, pos, start)
+        ext_pos = jnp.where(start_new, pos + 1,
+                  jnp.where(ok3, ext_pos + 3,
+                  jnp.where(ok1, ext_pos + 1, ext_pos)))
+        in_ext = jnp.where(start_new, True, jnp.where(finalize, False, in_ext))
+        replay = jnp.where(start_new | finalize, False, replay | fail3)
+
+        return (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
+
+    z = rlens * 0
+    zb = z != 0
+    zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
+    state = (z, zb, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
+    # worst case ~1.5 iterations/base (len-1 MEMs: init + 3-fail +
+    # 1-replay-fail per 2-base advance) + 2/seed finalize
+    n_iters = (3 * max_len) // 2 + 2 * max_seeds + 8
+    UNROLL = 8
+    n_blocks = (n_iters + UNROLL - 1) // UNROLL
+
+    def block_cond(carry):
+        i, s = carry
+        pos, in_ext = s[0], s[1]
+        active = in_ext | (pos < rlens - MIN_SEED_LEN)
+        return (i < n_blocks) & jnp.any(active)
+
+    def block_body(carry):
+        i, s = carry
+        for _ in range(UNROLL):
+            s = step(s)
+        return i + 1, s
+
+    _, state = jax.lax.while_loop(block_cond, block_body, (jnp.int32(0), state))
+    (_, _, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
+     overflow) = state
+    return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow
+
+
+def build_seed_kernel_packed(fm_template, max_len: int,
                              batch: int, hits_per_read_x4: int = 9):
     """Transfer-optimized batched seeding (tunnel platforms pay ~30 ms
     per D2H plus ~30 MB/s, so every byte counts):
@@ -59,8 +167,10 @@ def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
     assert batch % 32 == 0 and max_len <= 511
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
     H = batch * hits_per_read_x4 // 4
+    from .fm3_device import DeviceFM3
+    use_occ3 = isinstance(fm_template, DeviceFM3)
 
-    def kernel(fm: DeviceFMIndex, packed: jnp.ndarray, rlens: jnp.ndarray):
+    def kernel(fm, packed: jnp.ndarray, rlens: jnp.ndarray):
         B = batch
         # pre-assemble the whole read as uint32 words (16 crumbs each):
         # code lookups then become an 8/16-way one-hot select over the
@@ -79,8 +189,12 @@ def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
             return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
                     ).astype(jnp.int32)
 
-        (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
-            fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
+        if use_occ3:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
+                fm, codes_fn, rlens, B, max_len, max_seeds)
+        else:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
+                fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
 
         sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
         seed_valid = sidx < n_seeds[:, None]
@@ -102,7 +216,8 @@ def build_seed_kernel_packed(fm_template: DeviceFMIndex, max_len: int,
         hit_valid = hpos < jnp.minimum(total_raw, H)
         buffer_overflow = total_raw > H
 
-        hit_loc, resolved = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32),
+        fm1 = fm.fm if use_occ3 else fm
+        hit_loc, resolved = sa_resolve(fm1, jnp.where(hit_valid, hit_row, 32),
                                        hit_valid)
         unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
             (hit_valid & ~resolved).astype(jnp.int32))

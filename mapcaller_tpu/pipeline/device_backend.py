@@ -30,6 +30,17 @@ class DeviceBackend:
         self.batch = cfg.batch_size
         self.max_len = cfg.max_read_len
         self._kernels = {}
+        self._fm3 = None
+        # 3-step occ table: ~18 B/text-base of HBM; cap its use at 512 Mbp
+        # of text (fwd+rc) so big genomes fall back to the 1-step kernel
+        self._fm3_ok = idx.sa_full is not None and idx.seq_len < (1 << 29)
+
+    @property
+    def fm3(self):
+        if self._fm3 is None and self._fm3_ok:
+            from ..ops.fm3_device import DeviceFM3
+            self._fm3 = DeviceFM3.from_host(self.idx, self.fm)
+        return self._fm3
 
     def _kernel_for(self, bucket: int):
         if bucket not in self._kernels:
@@ -66,8 +77,9 @@ class DeviceBackend:
         key = ("packed", bucket, tier, B)
         if key not in self._kernels:
             from ..ops.fm_search import build_seed_kernel_packed
+            fm = self.fm3 if self._fm3_ok else self.fm
             self._kernels[key] = build_seed_kernel_packed(
-                self.fm, bucket, B, hits_per_read_x4=tier)
+                fm, bucket, B, hits_per_read_x4=tier)
         return self._kernels[key]
 
     def submit_packed(self, packed: np.ndarray, rlens: np.ndarray,

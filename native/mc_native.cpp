@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <string>
 #include <vector>
 
@@ -32,6 +33,17 @@ struct Chrom {
   i64 len;
   i64 fwd_loc;
 };
+
+// optional stage timing (MC_NATIVE_PROF=1): accumulated ns per stage
+static i64 g_prof_ns[8] = {0};  // build_read, pair, align, profile, sam, span, spare, reads
+static inline i64 now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (i64)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+extern "C" void mc_prof_fetch(i64* out8) {
+  for (int i = 0; i < 8; i++) { out8[i] = g_prof_ns[i]; g_prof_ns[i] = 0; }
+}
 
 struct Ctx {
   const char* ref;  // RefSequence chars, length two_l (borrowed from numpy)
@@ -1350,6 +1362,7 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
     for (i32 i = lo; i + 1 < n_reads; i += 2) {
       Read& r1 = reads[i];
       Read& r2 = reads[i + 1];
+      i64 tp0 = now_ns();
       for (auto& can : r1.cans) can.paired_idx = -1;
       for (auto& can : r2.cans) can.paired_idx = -1;
       i64 est = (i64)(avg_dist * 1.5);
@@ -1357,8 +1370,11 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
       if (n == 0) n = alignment_rescue(c, est, r1, r2);
       if (n == 0) { remove_redundant(r1.cans); remove_redundant(r2.cans); }
       else mask_unpaired(r1.cans, r2.cans);
+      i64 tp1 = now_ns();
+      g_prof_ns[1] += tp1 - tp0;
       if (produce_read_alignment(c, r1)) o.mapped_num++;
       if (produce_read_alignment(c, r2)) o.mapped_num++;
+      g_prof_ns[2] += now_ns() - tp1;
       CoorPair cp = gen_coordinate_pair(r1.cans, r2.cans);
       if (cp.dist != 0 && cp.g1 != -1 && cp.g2 != -1) {
         if (cp.g1 < c.L && cp.g2 >= c.L) {
@@ -1399,6 +1415,7 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
       for (i32 i = lo; i + 1 < n_reads; i += 2)
         append_sam_paired(c, reads[i], reads[i + 1], o.sam);
     if (c.vcf_output) {
+      i64 tv0 = now_ns();
       for (i32 i = lo; i < n_reads; i++) {
         Read& rd = reads[i];
         if (rd.score == 0) continue;
@@ -1406,6 +1423,7 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
           update_profile(c, i % 2 == 0, rd, o.events);
         else update_multi_hit(c, rd);
       }
+      g_prof_ns[3] += now_ns() - tv0;
     }
   } else {
     for (i32 i = lo; i < n_reads; i++) {
@@ -1647,6 +1665,7 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
   ChunkOut& o = g_out;
   o = ChunkOut();
   i32 n = b.n;
+  i64 t0 = now_ns();
   vector<Read> reads(n);
   i64 soff = 0;
   for (i32 i = 0; i < n; i++) {
@@ -1659,6 +1678,9 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                seed_counts[i]);
     soff += seed_counts[i];
   }
+  i64 t1 = now_ns();
+  g_prof_ns[0] += t1 - t0;
+  g_prof_ns[7] += n;
   bool paired = pair_end != 0;
   const i32 CHUNK = 200;
   for (i32 lo = 0; lo < n; lo += CHUNK) {
@@ -1675,6 +1697,7 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
     if (stats_io[2] > 1000)
       stats_io[5] = (i64)((double)stats_io[3] / stats_io[2] + 0.5);
   }
+  g_prof_ns[5] += now_ns() - t1;
   out_sizes[0] = o.mapped_num;
   out_sizes[1] = o.paired_num;
   out_sizes[2] = o.dist_sum;
@@ -1849,6 +1872,52 @@ void mc_build_suffix_array(const unsigned char* text, i64 n, i32* sa) {
   sais_core(T.data(), SA.data(), (i32)(n + 1), 5, nullptr);
   // SA[0] is the sentinel suffix; the rest is the sentinel-free order
   memcpy(sa, SA.data() + 1, n * sizeof(i32));
+}
+
+// 3-step occ table build (see index/occ3.py for layout + conventions):
+// one pass over n+1 rows, 64 running counters, checkpoint every 16 rows.
+// rows: i32[nw3 * 72] zeroed by the caller; sa: i32[n+1]; text: codes[n].
+void mc_build_occ3(const i32* sa, const unsigned char* text, i64 n,
+                   i32* rows, i64 nw3, i32* c3_first /*[64]*/,
+                   i64* aux /*[2]: row_p1, row_p2*/) {
+  i32 cnt[64] = {0};
+  aux[0] = aux[1] = -1;
+  for (i64 w = 0; w < nw3; w++) {
+    i32* row = rows + w * 72;
+    memcpy(row, cnt, sizeof(cnt));
+    unsigned char* syms = (unsigned char*)(row + 64);
+    for (i64 q = 0; q < 16; q++) {
+      i64 j = w * 16 + q;
+      int sym = 255;
+      if (j <= n) {
+        i64 p = sa[j];
+        if (p == 1) aux[0] = j;
+        if (p == 2) aux[1] = j;
+        if (p >= 3)
+          sym = text[p - 3] * 16 + text[p - 2] * 4 + text[p - 1];
+      }
+      syms[q] = (unsigned char)sym;
+      if (sym < 64) cnt[sym]++;
+    }
+  }
+  // c3_first[d] = first row whose suffix starts with 3-gram d: 64 binary
+  // searches on the base-5 suffix-start key (pad 0 => short-first order)
+  auto key = [&](i64 j) -> int {
+    i64 p = sa[j];
+    int k0 = p < n ? text[p] + 1 : 0;
+    int k1 = p + 1 < n ? text[p + 1] + 1 : 0;
+    int k2 = p + 2 < n ? text[p + 2] + 1 : 0;
+    return k0 * 25 + k1 * 5 + k2;
+  };
+  for (int d = 0; d < 64; d++) {
+    int dk = ((d >> 4) + 1) * 25 + (((d >> 2) & 3) + 1) * 5 + ((d & 3) + 1);
+    i64 lo = 0, hi = n + 1;   // first j with key(j) >= dk
+    while (lo < hi) {
+      i64 mid = (lo + hi) >> 1;
+      if (key(mid) < dk) lo = mid + 1; else hi = mid;
+    }
+    c3_first[d] = (i32)lo;
+  }
 }
 }  // extern "C"
 
