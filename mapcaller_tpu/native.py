@@ -67,6 +67,8 @@ def load_lib():
         lib.mc_process_batch.argtypes = [
             C.c_void_p, C.c_int32, C.c_int32, C.c_int32, C.c_void_p,
             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+        lib.mc_process_batch_cls.argtypes = [
+            C.c_void_p, C.c_int32, C.c_int32, C.c_int32] + [C.c_void_p] * 11
         lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
@@ -201,6 +203,30 @@ class NativeEngine:
         sizes = np.zeros(8, dtype=np.int64)
         self.lib.mc_process_batch(
             self.ctx, slot, int(pair_end), int(fastq),
+            _ptr(np.ascontiguousarray(seed_counts, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
+            _ptr(stats_io), _ptr(sizes))
+        return self._fetch(sizes)
+
+    def process_batch_cls(self, slot: int, pair_end: bool, fastq: bool,
+                          cls: np.ndarray, pd: np.ndarray, mm: np.ndarray,
+                          rplast: np.ndarray, cscore: np.ndarray,
+                          seed_counts: np.ndarray, seed_rpos: np.ndarray,
+                          seed_gpos: np.ndarray, seed_len: np.ndarray,
+                          stats_io: np.ndarray):
+        """Classified-batch variant: FAST/NOCAND reads carry no seeds
+        (see ops/chain_device.py); SLOW reads' seeds are in the flat
+        arrays as in process_batch."""
+        sizes = np.zeros(8, dtype=np.int64)
+        self.lib.mc_process_batch_cls(
+            self.ctx, slot, int(pair_end), int(fastq),
+            _ptr(np.ascontiguousarray(cls, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(pd, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(mm, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(rplast, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(cscore, dtype=np.int32)),
             _ptr(np.ascontiguousarray(seed_counts, dtype=np.int32)),
             _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
             _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),

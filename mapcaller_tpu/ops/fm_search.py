@@ -282,6 +282,165 @@ def build_seed_kernel_packed(fm_template, max_len: int,
     return submit
 
 
+def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
+                            slow_hits_x4: int = 5):
+    """Seeding + device chaining/classification in one jitted graph
+    (see ops/chain_device.py). Output int32 vector:
+
+      [meta1[B]  : cls | mm<<2 | rplast<<8 | cscore<<17,
+       pd[B]     : the single diagonal of FAST reads,
+       hit_w[H2] : rpos<<9|len for SLOW reads' hits only,
+       hit_loc[H2], counts2[B/2] (slow reads; fast/nocand get 0),
+       ovfbits[B/32], total_slow_kept, buffer_overflow]
+
+    Fast/nocand reads transfer 8 bytes instead of their hits, and the
+    host skips chaining + alignment for them entirely."""
+    from .chain_device import CLASS_SLOW, ChainCtx, classify_reads
+    from .fm3_device import DeviceFM3
+    assert batch % 32 == 0 and max_len <= 511
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = batch * 9 // 4              # raw hit expansion capacity
+    H2 = batch * slow_hits_x4 // 4  # compacted slow-hit capacity
+    use_occ3 = isinstance(fm_template, DeviceFM3)
+
+    def kernel(fm, ctx: ChainCtx, packed: jnp.ndarray, rlens: jnp.ndarray):
+        B = batch
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        bwa_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)
+        # little-endian byte assembly for codes_fn (matches packed layout)
+        words_le = (pb << sh).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words_le, 0).sum(axis=1, dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        if use_occ3:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
+                fm, codes_fn, rlens, B, max_len, max_seeds)
+        else:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
+                fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
+
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+
+        total_raw = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        seg_start = jnp.repeat(csum, freqs, total_repeat_length=H)
+        within = hpos - seg_start
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total_raw, H)
+        buffer_overflow = total_raw > H
+
+        fm1 = fm.fm if use_occ3 else fm
+        hit_loc, resolved = sa_resolve(fm1, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+        unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
+            (hit_valid & ~resolved).astype(jnp.int32))
+        overflow = overflow | (unresolved_read > 0)
+
+        keep = hit_valid & ((hit_loc - hit_rpos) > 0)
+
+        # read words in bwa crumb order for the diagonal compare: base j
+        # of the read at bits (15 - j%16)*2 of word j//16
+        pb2 = packed.astype(jnp.uint32)
+        crumb = jnp.stack([(pb2 >> jnp.uint32(q * 2)) & 3 for q in range(4)],
+                          axis=-1).reshape(B, W4 * 4)       # [B, max_len]
+        cshift = jnp.asarray(((15 - (np.arange(max_len) & 15)) * 2)
+                             .astype(np.uint32))
+        cw = (crumb[:, :max_len] << cshift[None, :]).reshape(B, nwords, 16)
+        words_bwa = cw.sum(axis=2, dtype=jnp.uint32)
+
+        cls, pd0, mm, rplast, cscore = classify_reads(
+            ctx, words_bwa, rlens, hit_read, hit_rpos, hit_len, hit_loc,
+            keep, max_len)
+        # per-read seed-table overflow forces the host-oracle path
+        cls = jnp.where(unresolved_read > 0, CLASS_SLOW, cls)
+
+        meta1 = cls | (mm << 2) | (rplast << 8) | (cscore << 17)
+
+        keep_slow = keep & (cls[jnp.clip(hit_read, 0, B - 1)] == CLASS_SLOW)
+        dest = jnp.cumsum(keep_slow.astype(jnp.int32)) - 1
+        slot = jnp.where(keep_slow, dest, H2)
+        w = jnp.where(keep_slow, (hit_rpos << 9) | hit_len, 0)
+        hit_w_c = jnp.zeros(H2 + 1, dtype=jnp.int32).at[slot].set(
+            w, mode="drop")[:H2]
+        hit_loc_c = jnp.zeros(H2 + 1, dtype=jnp.int32).at[slot].set(
+            jnp.where(keep_slow, hit_loc, 0), mode="drop")[:H2]
+        counts = jnp.zeros(B, dtype=jnp.int32).at[hit_read].add(
+            keep_slow.astype(jnp.int32), mode="drop")
+        counts2 = (counts[0::2] & 0xFFFF) | (counts[1::2] << 16)
+        total_kept = keep_slow.sum()
+        buffer_overflow = buffer_overflow | (total_kept > H2)
+
+        ovf_bits = jnp.zeros(B // 32, dtype=jnp.int32).at[
+            jnp.arange(B) >> 5].add(
+            overflow.astype(jnp.int32) << (jnp.arange(B) & 31))
+        return jnp.concatenate([
+            meta1, pd0, hit_w_c, hit_loc_c, counts2, ovf_bits,
+            jnp.stack([total_kept, buffer_overflow.astype(jnp.int32)]),
+        ])
+
+    jitted = jax.jit(kernel)
+
+    def submit(packed, rlens):
+        dev = jitted(fm_template, chain_ctx, packed, rlens)
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
+        return dev
+
+    def collect(dev_packed):
+        p = np.asarray(dev_packed)
+        B = batch
+        meta1 = p[0:B]
+        pd0 = p[B:2 * B]
+        o = 2 * B
+        hit_w = p[o:o + H2]
+        hit_loc = p[o + H2:o + 2 * H2]
+        o += 2 * H2
+        c2 = p[o:o + B // 2]
+        counts = np.empty(B, dtype=np.int32)
+        counts[0::2] = c2 & 0xFFFF
+        counts[1::2] = (c2 >> 16) & 0xFFFF
+        o += B // 2
+        ovf_bits = p[o:o + B // 32]
+        total = int(p[-2])
+        buf_ovf = bool(p[-1])
+        bit = (np.arange(B) & 31)
+        overflow = ((ovf_bits[np.arange(B) >> 5] >> bit) & 1).astype(bool)
+        n = min(total, H2)
+        rpos = (hit_w[:n] >> 9) & 0x1FF
+        lens = hit_w[:n] & 0x1FF
+        cls = meta1 & 3
+        mm = (meta1 >> 2) & 0x3F
+        rplast = (meta1 >> 8) & 0x1FF
+        cscore = (meta1 >> 17) & 0x1FF
+        return (cls, pd0, mm, rplast, cscore, counts, rpos,
+                hit_loc[:n].astype(np.int64), lens, overflow, buf_ovf)
+
+    submit.collect = collect
+    submit.H2 = H2
+    submit.raw_kernel = kernel
+    return submit
+
+
 def _seed_scan(fm, codes_fn, rlens, B, max_len, max_seeds, has_n):
     """Shared greedy-MEM state machine (see build_seed_kernel docstring).
     codes_fn(row, pos) -> int32 code; with has_n=False the ambiguity

@@ -31,6 +31,10 @@ class DeviceBackend:
         self.max_len = cfg.max_read_len
         self._kernels = {}
         self._fm3 = None
+        self._chain_ctx = None
+        # device chaining/classification (ops/chain_device.py) in the
+        # stream path; disable to fall back to hit downloads + host chaining
+        self.chain_enabled = getattr(cfg, "device_chain", True)
         # 3-step occ table: ~18 B/text-base of HBM; cap its use at 512 Mbp
         # of text (fwd+rc) so big genomes fall back to the 1-step kernel
         self._fm3_ok = idx.sa_full is not None and idx.seq_len < (1 << 29)
@@ -147,6 +151,84 @@ class DeviceBackend:
                 np.concatenate(rp_parts).astype(np.int32),
                 np.concatenate(gp_parts).astype(np.int64),
                 np.concatenate(ln_parts).astype(np.int32))
+
+    # -- seeding + device chaining/classification (production path) ------
+    def _chain_kernel_for(self, bucket: int, tier: int = 5,
+                          batch: Optional[int] = None):
+        B = batch or self.batch
+        key = ("chain", bucket, tier, B)
+        if key not in self._kernels:
+            from ..ops.fm_search import build_seed_chain_kernel
+            fm = self.fm3 if self._fm3_ok else self.fm
+            self._kernels[key] = build_seed_chain_kernel(
+                fm, self.chain_ctx, bucket, B, slow_hits_x4=tier)
+        return self._kernels[key]
+
+    @property
+    def chain_ctx(self):
+        if self._chain_ctx is None:
+            from ..ops.chain_device import ChainCtx
+            self._chain_ctx = ChainCtx.from_host(self.idx)
+        return self._chain_ctx
+
+    def submit_chain(self, packed: np.ndarray, rlens: np.ndarray,
+                     bucket: int, tier: int = 5):
+        kernel = self._chain_kernel_for(bucket, tier, batch=packed.shape[0])
+        rl = np.maximum(rlens, 0)
+        packed_dev = jnp.asarray(packed)
+        dev = kernel(packed_dev, jnp.asarray(rl))
+        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens)
+
+    def collect_chain(self, token, n: int, read_codes_fn):
+        """-> (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen).
+        Overflow / too-long reads are re-seeded with the host oracle and
+        forced to the SLOW class; hit-buffer overflow reruns at a larger
+        tier."""
+        from ..ops.chain_device import CLASS_SLOW
+        kernel, dev, fb_neg, packed_dev, bucket, rlens = token
+        out = kernel.collect(dev)
+        (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
+         overflow, buf_ovf) = out
+        if buf_ovf:
+            kernel2 = self._chain_kernel_for(bucket, tier=18,
+                                             batch=len(rlens))
+            dev2 = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
+            (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
+             overflow, buf_ovf) = kernel2.collect(dev2)
+            if buf_ovf:   # pathological: host oracle for everything
+                cls = np.full(n, CLASS_SLOW, dtype=np.int32)
+                counts = np.zeros(n, dtype=np.int32)
+                return self._splice_chain(
+                    n, cls[:n], pd[:n], mm[:n], rplast[:n], cscore[:n],
+                    counts, np.zeros(0, np.int32), np.zeros(0, np.int64),
+                    np.zeros(0, np.int32), np.ones(n, dtype=bool),
+                    read_codes_fn)
+        fallback = overflow[:n] | fb_neg[:n]
+        cls = cls[:n].copy()
+        counts = counts[:n]
+        if fallback.any():
+            # drop device hits of fallback reads, then splice oracle seeds
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=bounds[1:])
+            keep = np.ones(len(rpos), dtype=bool)
+            for i in np.nonzero(fallback)[0].tolist():
+                keep[bounds[i]:bounds[i + 1]] = False
+            rpos, gpos, slen = rpos[keep], gpos[keep], slen[keep]
+            counts = counts.copy()
+            counts[fallback] = 0
+            return self._splice_chain(n, cls, pd[:n], mm[:n], rplast[:n],
+                                      cscore[:n], counts, rpos, gpos, slen,
+                                      fallback, read_codes_fn)
+        return (cls, pd[:n], mm[:n], rplast[:n], cscore[:n], counts,
+                rpos.astype(np.int32), gpos, slen.astype(np.int32))
+
+    def _splice_chain(self, n, cls, pd, mm, rplast, cscore, counts,
+                      rpos, gpos, slen, fallback, read_codes_fn):
+        from ..ops.chain_device import CLASS_SLOW
+        cls[fallback] = CLASS_SLOW
+        counts, rpos, gpos, slen = self._splice_fallback(
+            n, counts, rpos, gpos, slen, fallback, read_codes_fn)
+        return cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen
 
     # -- flat matrix API (stream path: native parser provides the batch) --
     def submit_matrix(self, codes: np.ndarray, rlens: np.ndarray, bucket: int):

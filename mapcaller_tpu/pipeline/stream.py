@@ -49,6 +49,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
 
         # device kernels require batch % 32 == 0 (fm_search assertions)
         sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
+        use_chain = getattr(be, "chain_enabled", True)
         slot = 0
         pending = None   # (slot, n, token)
         while True:
@@ -57,16 +58,25 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 bucket = next((b for b in be.BUCKETS
                                if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
                 packed, rlens = native.batch_codes_packed(slot, bucket, sb)
-                token = be.submit_packed(packed, rlens, bucket)
+                token = (be.submit_chain(packed, rlens, bucket) if use_chain
+                         else be.submit_packed(packed, rlens, bucket))
                 cur = (slot, n, token)
             else:
                 cur = None
             if pending is not None:
                 pslot, pn, ptoken = pending
-                counts, rp, gp, ln = be.collect_packed(
-                    ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
-                sam_text, st = native.process_batch(
-                    pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
+                if use_chain:
+                    (cls, pd, mm, rplast, cscore, counts, rp, gp,
+                     ln) = be.collect_chain(
+                        ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
+                    sam_text, st = native.process_batch_cls(
+                        pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
+                        counts, rp, gp, ln, stats_io)
+                else:
+                    counts, rp, gp, ln = be.collect_packed(
+                        ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
+                    sam_text, st = native.process_batch(
+                        pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
                 engine.inv_sites.extend(st["inv"])
                 engine.tnl_sites.extend(st["tnl"])
                 if sam_sink is not None and sam_text:

@@ -116,6 +116,7 @@ struct AlnCan {
   bool orientation = true;
   i32 SamFlag = 0;
   i32 paired_idx = -1;
+  bool fast = false;   // device-classified diagonal-identity candidate
   vector<FragPair> frags;
 };
 
@@ -127,6 +128,11 @@ struct Read {
   string seq_store, qual_store;
   i32 score = 0, sub_score = 0, best_idx = -1;
   vector<AlnCan> cans;
+  // device fast-path classification (ops/chain_device.py): the read's
+  // kept seeds all lie on diagonal fast_pd and the identity alignment
+  // along it is provably what the full pipeline would produce
+  i64 fast_pd = 0;
+  i32 fast_mm = 0, fast_rplast = 0;
 };
 
 // ---------------------------------------------------------------------------
@@ -696,6 +702,22 @@ static bool produce_read_alignment(const Ctx& c, Read& read) {
   for (size_t ci = 0; ci < read.cans.size(); ci++) {
     AlnCan& can = read.cans[ci];
     if (can.score == 0) continue;
+    if (can.fast) {
+      // identity alignment along fast_pd: score = matched bases, same
+      // mismatch-rate veto as the generic path below
+      int sc = read.rlen - read.fast_mm;
+      if (sc < (int)(read.rlen * (1 - c.max_mismatch_rate)) &&
+          read.fast_mm > max_mm_thr)
+        can.score = 0;
+      else {
+        can.score = sc;
+        if (can.score > read.score) {
+          read.score = can.score;
+          read.best_idx = (int)ci;
+        } else if (can.score > read.sub_score) read.sub_score = can.score;
+      }
+      continue;
+    }
     auto& frags = can.frags;
     std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
       if (a.rPos == b.rPos) return a.gPos < b.gPos;
@@ -1124,10 +1146,54 @@ static void walk_aln(Ctx& c, const string& a1, const string& a2, i64 gpos,
   }
 }
 
+// Evidence for a fast-path read: the alignment is the identity along
+// fast_pd, so the net effect of UpdateProfile (AlignmentProfile.cpp:
+// 41-119) is one coverage range minus holes at the mismatch positions,
+// plus read-base point adds there. Mismatch positions are recomputed
+// from the read (cheap, cache-resident) — they equal the device count.
+static void fast_profile(Ctx& c, bool b_first, Read& rd, AlnCan& can) {
+  bool emit = c.emit_segments;
+  bool ori = can.orientation;
+  i64 pd = rd.fast_pd;
+  i64 g_start = ori ? pd : c.two_l - pd - rd.rlen;
+  if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
+  else return;
+  i64 end = std::min<i64>(g_start + rd.rlen, c.L);
+  if (emit) {
+    i32* fd = c.f_diff[b_first ? (ori ? 0 : 3) : (ori ? 1 : 2)];
+    fd[g_start]++;
+    fd[end]--;
+    exact_range(c, g_start, rd.rlen);
+    if (rd.fast_mm > 0) {
+      const char* ref = c.ref;
+      for (i32 r = 0; r < rd.rlen; r++) {
+        if (rd.seq[r] != ref[pd + r]) {
+          i64 p = ori ? pd + r : c.two_l - 1 - (pd + r);
+          c.exact_diff[p]--;
+          c.exact_diff[p + 1]++;
+          unsigned char b = NT4[(unsigned char)rd.seq[r]];
+          bump_base(c, p, ori ? b : 3 - b);
+        }
+      }
+    }
+  } else {
+    i32* tgt = b_first ? (ori ? c.F1 : c.R1) : (ori ? c.R2 : c.F2);
+    for (i64 g = g_start; g < end; g++) tgt[g]++;
+    const char* ref = c.ref;
+    for (i32 r = 0; r < rd.rlen; r++) {
+      unsigned char b = NT4[(unsigned char)rd.seq[r]];
+      i64 p = ori ? pd + r : c.two_l - 1 - (pd + r);
+      (void)ref;
+      bump_base(c, p, ori ? b : 3 - b);
+    }
+  }
+}
+
 static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
   bool emit = c.emit_segments;
   for (auto& can : rd.cans) {
     if (can.score == 0) continue;
+    if (can.fast) { fast_profile(c, b_first, rd, can); continue; }
     auto& frags = can.frags;
     const FragPair& first = frags.front();
     const FragPair& last = frags.back();
@@ -1252,6 +1318,38 @@ static void build_read(const Ctx& c, Read& rd,
   sent.gPos = sent.PosDiff = c.two_l;
   sp.push_back(std::move(sent));
   rd.cans = simple_pair_clustering(c, rd.rlen, sp);
+}
+
+// Synthesize the fast-path candidate (class FAST from
+// ops/chain_device.py): a two-block all-M frag chain in final
+// (post-reversal) order, carrying the exact values the generic
+// pairing / SAM / coordinate code reads from real candidates:
+// frags[0].PosDiff = pd, frags[0].gPos = pd (fwd) / pd + rplast (rev),
+// get_aln_coordinate = pd (fwd) / pd + rlen - 1 (rev).
+static void build_read_fast(const Ctx& c, Read& rd, i64 pd, i32 mm,
+                            i32 rplast, i32 cscore) {
+  rd.fast_pd = pd;
+  rd.fast_mm = mm;
+  rd.fast_rplast = rplast;
+  AlnCan can;
+  can.fast = true;
+  can.score = cscore;               // cluster score until "alignment"
+  can.orientation = pd < c.L;
+  FragPair f1, f2;
+  f1.simple = f2.simple = true;
+  f1.rPos = 0; f1.gPos = pd; f1.PosDiff = pd;
+  f1.rLen = f1.gLen = rplast;
+  f2.rPos = rplast; f2.gPos = pd + rplast; f2.PosDiff = pd;
+  f2.rLen = f2.gLen = rd.rlen - rplast;
+  if (rplast == 0) can.frags.push_back(std::move(f2));
+  else if (can.orientation) {
+    can.frags.push_back(std::move(f1));
+    can.frags.push_back(std::move(f2));
+  } else {
+    can.frags.push_back(std::move(f2));
+    can.frags.push_back(std::move(f1));
+  }
+  rd.cans.push_back(std::move(can));
 }
 
 extern "C" {
@@ -1676,6 +1774,71 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
     rd.rlen = (i32)b.reads[i].seq.size();
     build_read(c, rd, seed_rpos + soff, seed_gpos + soff, seed_len + soff,
                seed_counts[i]);
+    soff += seed_counts[i];
+  }
+  i64 t1 = now_ns();
+  g_prof_ns[0] += t1 - t0;
+  g_prof_ns[7] += n;
+  bool paired = pair_end != 0;
+  const i32 CHUNK = 200;
+  for (i32 lo = 0; lo < n; lo += CHUNK) {
+    i32 hi = std::min(n, lo + CHUNK);
+    i64 pn0 = o.paired_num, ds0 = o.dist_sum;
+    i64 mn0 = o.mapped_num, rs0 = o.rlen_sum;
+    process_span(c, reads, lo, hi, paired && (hi - lo) % 2 == 0,
+                 stats_io[5], o);
+    stats_io[0] += hi - lo;
+    stats_io[1] += o.mapped_num - mn0;
+    stats_io[2] += o.paired_num - pn0;
+    stats_io[3] += o.dist_sum - ds0;
+    stats_io[4] += o.rlen_sum - rs0;
+    if (stats_io[2] > 1000)
+      stats_io[5] = (i64)((double)stats_io[3] / stats_io[2] + 0.5);
+  }
+  g_prof_ns[5] += now_ns() - t1;
+  out_sizes[0] = o.mapped_num;
+  out_sizes[1] = o.paired_num;
+  out_sizes[2] = o.dist_sum;
+  out_sizes[3] = o.rlen_sum;
+  out_sizes[4] = (i64)o.sam.size();
+  out_sizes[5] = (i64)o.events.size();
+  out_sizes[6] = (i64)o.inv_sites.size();
+  out_sizes[7] = (i64)o.tnl_sites.size();
+}
+
+// Classified batch processing: the device already chained + classified
+// every read (ops/chain_device.py). cls: 0=NOCAND (no candidates — the
+// host pipeline would produce none), 1=FAST (diagonal-identity
+// candidate synthesized from pd/mm/rplast/cscore), 2=SLOW (real seeds
+// follow in the flat arrays, exactly as mc_process_batch).
+void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
+                          const i32* cls, const i32* pd, const i32* mm,
+                          const i32* rplast, const i32* cscore,
+                          const i32* seed_counts, const i32* seed_rpos,
+                          const i64* seed_gpos, const i32* seed_len,
+                          i64* stats_io, i64* out_sizes /*[8]*/) {
+  Ctx& c = *(Ctx*)ctx;
+  Batch& b = g_stream.slot[slot_idx & 1];
+  c.fastq = fastq != 0;
+  ChunkOut& o = g_out;
+  o = ChunkOut();
+  i32 n = b.n;
+  i64 t0 = now_ns();
+  vector<Read> reads(n);
+  i64 soff = 0;
+  for (i32 i = 0; i < n; i++) {
+    Read& rd = reads[i];
+    rd.seq = b.reads[i].seq.c_str();
+    rd.qual = b.reads[i].qual.c_str();
+    rd.header = b.reads[i].header.c_str();
+    rd.rlen = (i32)b.reads[i].seq.size();
+    if (cls[i] == 1)
+      build_read_fast(c, rd, pd[i], mm[i], rplast[i], cscore[i]);
+    else if (cls[i] == 2) {
+      build_read(c, rd, seed_rpos + soff, seed_gpos + soff, seed_len + soff,
+                 seed_counts[i]);
+    }
+    // cls 0: no candidates; cans stay empty
     soff += seed_counts[i];
   }
   i64 t1 = now_ns();
