@@ -58,6 +58,7 @@ class Config:
     batch_size: int = 8192                      # reads per device batch
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
     device_chain: bool = True                   # device chaining/classification
+    stream_pipeline_depth: int = 2              # device batches in flight
     max_read_len: int = 256                     # padded read length bucket
 
     # fixed algorithm constants (ref: structure.h:20-25, bwt_search.cpp:3-6)

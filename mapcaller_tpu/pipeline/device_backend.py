@@ -153,7 +153,7 @@ class DeviceBackend:
                 np.concatenate(ln_parts).astype(np.int32))
 
     # -- seeding + device chaining/classification (production path) ------
-    def _chain_kernel_for(self, bucket: int, tier: int = 5,
+    def _chain_kernel_for(self, bucket: int, tier: int = 2,
                           batch: Optional[int] = None):
         B = batch or self.batch
         key = ("chain", bucket, tier, B)
@@ -172,7 +172,7 @@ class DeviceBackend:
         return self._chain_ctx
 
     def submit_chain(self, packed: np.ndarray, rlens: np.ndarray,
-                     bucket: int, tier: int = 5):
+                     bucket: int, tier: int = 2):
         kernel = self._chain_kernel_for(bucket, tier, batch=packed.shape[0])
         rl = np.maximum(rlens, 0)
         packed_dev = jnp.asarray(packed)

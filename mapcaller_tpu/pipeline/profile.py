@@ -22,18 +22,29 @@ _BASE_PLANE = {"A": 0, "C": 1, "G": 2, "T": 3}
 _COMP_PLANE = {"A": 3, "C": 2, "G": 1, "T": 0}
 
 
+def _zeros_prefaulted(shape, dtype=np.int32):
+    """np.zeros + touch every page: first-touch page faults on this VM
+    class cost ~10us/page, which would otherwise land inside the random
+    single-int writes of the mapping hot loop (mc_native update_profile /
+    fast_profile). Paying them once at allocation keeps the per-read
+    evidence cost at cache-miss scale."""
+    a = np.zeros(shape, dtype=dtype)
+    a.reshape(-1)[::1024] = 0
+    return a
+
+
 class Profile:
     def __init__(self, genome_size: int):
         self.n = genome_size
         # acgt[4, L] — A/C/G/T counts; saturating at MAX_ALLELE_COUNT
-        self.acgt = np.zeros((4, genome_size), dtype=np.int32)
-        self.multi_hit = np.zeros(genome_size, dtype=np.int32)
-        self.read_count = np.zeros(genome_size, dtype=np.int32)
+        self.acgt = _zeros_prefaulted((4, genome_size))
+        self.multi_hit = _zeros_prefaulted(genome_size)
+        self.read_count = _zeros_prefaulted(genome_size)
         # pair-orientation counters (uint16 in the reference)
-        self.F1 = np.zeros(genome_size, dtype=np.int32)
-        self.R2 = np.zeros(genome_size, dtype=np.int32)
-        self.F2 = np.zeros(genome_size, dtype=np.int32)
-        self.R1 = np.zeros(genome_size, dtype=np.int32)
+        self.F1 = _zeros_prefaulted(genome_size)
+        self.R2 = _zeros_prefaulted(genome_size)
+        self.F2 = _zeros_prefaulted(genome_size)
+        self.R1 = _zeros_prefaulted(genome_size)
         self.break_point: Dict[int, int] = {}
         self.insert_map: Dict[int, Dict[str, int]] = {}
         self.delete_map: Dict[int, Dict[str, int]] = {}
@@ -44,12 +55,12 @@ class Profile:
 
     def alloc_diffs(self) -> None:
         n1 = self.n + 1
-        self.F1_diff = np.zeros(n1, dtype=np.int32)
-        self.R2_diff = np.zeros(n1, dtype=np.int32)
-        self.F2_diff = np.zeros(n1, dtype=np.int32)
-        self.R1_diff = np.zeros(n1, dtype=np.int32)
-        self.multi_diff = np.zeros(n1, dtype=np.int32)
-        self.exact_diff = np.zeros(n1, dtype=np.int32)
+        self.F1_diff = _zeros_prefaulted(n1)
+        self.R2_diff = _zeros_prefaulted(n1)
+        self.F2_diff = _zeros_prefaulted(n1)
+        self.R1_diff = _zeros_prefaulted(n1)
+        self.multi_diff = _zeros_prefaulted(n1)
+        self.exact_diff = _zeros_prefaulted(n1)
 
     def finalize_diffs(self, ref_codes: np.ndarray) -> None:
         """Materialize F1/R2/F2/R1/multi from the diff endpoints and fold

@@ -50,45 +50,50 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # device kernels require batch % 32 == 0 (fm_search assertions)
         sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
         use_chain = getattr(be, "chain_enabled", True)
+        # keep `depth` device batches in flight: the tunnel link (H2D +
+        # D2H) then overlaps both device compute and host processing;
+        # the native parser has 4 slots, so depth <= 3
+        depth = min(3, max(1, getattr(cfg, "stream_pipeline_depth", 2)))
+        from collections import deque
         slot = 0
-        pending = None   # (slot, n, token)
-        while True:
-            n, maxlen = native.next_batch(slot, sb)
-            if n > 0:
+        pending = deque()
+        eof = False
+        while not eof or pending:
+            while not eof and len(pending) < depth:
+                n, maxlen = native.next_batch(slot, sb)
+                if n <= 0:
+                    eof = True
+                    break
                 bucket = next((b for b in be.BUCKETS
                                if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
                 packed, rlens = native.batch_codes_packed(slot, bucket, sb)
                 token = (be.submit_chain(packed, rlens, bucket) if use_chain
                          else be.submit_packed(packed, rlens, bucket))
-                cur = (slot, n, token)
-            else:
-                cur = None
-            if pending is not None:
-                pslot, pn, ptoken = pending
-                if use_chain:
-                    (cls, pd, mm, rplast, cscore, counts, rp, gp,
-                     ln) = be.collect_chain(
-                        ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
-                    sam_text, st = native.process_batch_cls(
-                        pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
-                        counts, rp, gp, ln, stats_io)
-                else:
-                    counts, rp, gp, ln = be.collect_packed(
-                        ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
-                    sam_text, st = native.process_batch(
-                        pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
-                engine.inv_sites.extend(st["inv"])
-                engine.tnl_sites.extend(st["tnl"])
-                if sam_sink is not None and sam_text:
-                    sam_sink(sam_text)
-                sys.stderr.write(
-                    f"\r{int(stats_io[0])} "
-                    f"{'paired-end' if pair_end else 'singled-end'} reads "
-                    f"processed in {int(time.time() - t_start)} seconds...")
-            pending = cur
-            if cur is None:
+                pending.append((slot, n, token))
+                slot = (slot + 1) & 3
+            if not pending:
                 break
-            slot ^= 1
+            pslot, pn, ptoken = pending.popleft()
+            if use_chain:
+                (cls, pd, mm, rplast, cscore, counts, rp, gp,
+                 ln) = be.collect_chain(
+                    ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
+                sam_text, st = native.process_batch_cls(
+                    pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
+                    counts, rp, gp, ln, stats_io)
+            else:
+                counts, rp, gp, ln = be.collect_packed(
+                    ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
+                sam_text, st = native.process_batch(
+                    pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
+            engine.inv_sites.extend(st["inv"])
+            engine.tnl_sites.extend(st["tnl"])
+            if sam_sink is not None and sam_text:
+                sam_sink(sam_text)
+            sys.stderr.write(
+                f"\r{int(stats_io[0])} "
+                f"{'paired-end' if pair_end else 'singled-end'} reads "
+                f"processed in {int(time.time() - t_start)} seconds...")
 
     s = engine.stats
     s.total_reads = int(stats_io[0])
