@@ -502,7 +502,7 @@ def cal_region_cov(profile: Profile, genome_size: int, beg: int, end: int) -> in
         end = genome_size - 1
     if end < beg:
         return 0
-    cov = int(profile.acgt[:, beg:end + 1].sum())
+    cov = profile.region_cov_sum(beg, end)
     return cov // (end - beg + 1)
 
 

@@ -1,0 +1,153 @@
+"""Device-side variant-caller scan over the HBM-resident evidence
+planes (ref: src/VariantCalling.cpp:106-120 block depth, :550-680 scan).
+
+The genome-axis math runs on device; only sparse results cross the
+link: per-100bp block depths, SUB candidate indices (a conservative
+superset of the host threshold — exact float64 thresholds re-applied on
+host), gap/CNV run boundaries, and exact int64-safe scalar reductions.
+A second call gathers full evidence columns (acgt / multi / read_count
+/ F planes / cov / cov prefix) at the sparse positions every downstream
+consumer (record emission, VCF writer, SV scoring) reads.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK_SIZE = 100
+CAND_CAP = 1 << 17
+RUN_CAP = 1 << 16
+
+
+@functools.lru_cache(maxsize=None)
+def build_scan_kernel(L: int, somatic: bool):
+    nb = (L + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    def kernel(acgt, multi, cov, ref_codes, min_allele_depth,
+               freq_base):
+        pad = nb * BLOCK_SIZE - L
+        covp = jnp.concatenate([cov, jnp.zeros(pad, jnp.int32)])
+        sums = covp.reshape(nb, BLOCK_SIZE).sum(axis=1)
+        block_depth = jnp.where(sums > 0, sums // BLOCK_SIZE, 0)
+
+        ad = min_allele_depth
+        if somatic:
+            cov_thr = jnp.full(L, ad, jnp.int32)
+        else:
+            bd_pos = jnp.repeat(block_depth, BLOCK_SIZE,
+                                total_repeat_length=nb * BLOCK_SIZE)[:L]
+            cov_thr = jnp.maximum(bd_pos >> 1, ad)
+        rc = ref_codes[:L]
+        nonref_max = jnp.full(L, -1, jnp.int32)
+        for c in range(4):
+            nonref_max = jnp.maximum(
+                nonref_max, jnp.where(rc == c, -1, acgt[c]))
+        # conservative superset of max(ceil_f64(cov*freq_base), ad):
+        # f32 product minus 1 covers rounding differences
+        sup_thr = jnp.maximum(
+            (cov.astype(jnp.float32) * freq_base).astype(jnp.int32) - 1, ad)
+        cand_mask = (cov >= cov_thr) & (nonref_max >= sup_thr)
+        dest = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+        n_cand = jnp.where(cand_mask, dest + 1, 0).max()
+        pos = jnp.arange(L, dtype=jnp.int32)
+        cand_idx = jnp.full(CAND_CAP + 1, -1, jnp.int32).at[
+            jnp.where(cand_mask, jnp.minimum(dest, CAND_CAP), CAND_CAP)].set(
+            pos, mode="drop")[:CAND_CAP]
+
+        # gap/CNV run boundaries (ref: cpp:632-651 semantics done on host)
+        state = jnp.where(cov > 0, 2,
+                          jnp.where(multi > 0, 1, 0)).astype(jnp.int32)
+        newrun = jnp.concatenate([jnp.ones(1, bool), state[1:] != state[:-1]])
+        rdest = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+        n_runs = rdest[-1] + 1
+        run_start = jnp.full(RUN_CAP + 1, -1, jnp.int32).at[
+            jnp.where(newrun, jnp.minimum(rdest, RUN_CAP), RUN_CAP)].set(
+            pos, mode="drop")[:RUN_CAP]
+        run_val = jnp.zeros(RUN_CAP + 1, jnp.int32).at[
+            jnp.where(newrun, jnp.minimum(rdest, RUN_CAP), RUN_CAP)].set(
+            state, mode="drop")[:RUN_CAP]
+
+        aligned = cov > 0
+        n_aligned = aligned.sum()
+        cov_hi = jnp.where(aligned, cov >> 8, 0).sum()
+        cov_lo = jnp.where(aligned, cov & 255, 0).sum()
+        scalars = jnp.stack([n_cand, n_runs, n_aligned, cov_hi, cov_lo])
+        return block_depth, cand_idx, run_start, run_val, scalars
+
+    return jax.jit(kernel)
+
+
+@functools.lru_cache(maxsize=None)
+def build_fetch_kernel(L: int):
+    """Gather evidence columns at sparse positions: returns
+    [P, 10] = (A, C, G, T, multi, F1, R2, F2, R1, cov)
+    plus cov_prefix values at a second position list."""
+
+    def kernel(acgt, multi, F, cov, cov_prefix, positions, prefix_pts):
+        p = jnp.clip(positions, 0, L - 1)
+        cols = jnp.stack([acgt[0][p], acgt[1][p], acgt[2][p], acgt[3][p],
+                          multi[p],
+                          F[0][p], F[1][p], F[2][p], F[3][p], cov[p]],
+                         axis=1)
+        pref = cov_prefix[jnp.clip(prefix_pts, 0, L)]
+        return cols, pref
+
+    return jax.jit(kernel)
+
+
+class _SparseVec:
+    """1-D plane view backed by fetched columns; fails fast on
+    positions outside the fetched set."""
+
+    def __init__(self, cols: Dict[int, np.ndarray], k: int):
+        self._cols = cols
+        self._k = k
+
+    def __getitem__(self, g):
+        return int(self._cols[int(g)][self._k])
+
+
+class _SparseAcgt:
+    def __init__(self, cols: Dict[int, np.ndarray]):
+        self._cols = cols
+
+    def __getitem__(self, key):
+        k, g = key
+        col = self._cols[int(g)]
+        if isinstance(k, slice):
+            return col[:4]
+        return int(col[k])
+
+
+class SparseProfile:
+    """Duck-typed stand-in for pipeline.profile.Profile when the planes
+    live on device: every consumer reads either host-side event dicts or
+    evidence columns fetched for the sparse position set."""
+
+    def __init__(self, host_profile, cols: Dict[int, np.ndarray],
+                 cov_prefix: Dict[int, int], genome_size: int):
+        self.n = genome_size
+        self._cols = cols
+        self._cov_prefix = cov_prefix
+        self.insert_map = host_profile.insert_map
+        self.delete_map = host_profile.delete_map
+        self.break_point = host_profile.break_point
+        # the duplicate-gate counter stays host-authoritative (dense)
+        self.read_count = host_profile.read_count
+        self.acgt = _SparseAcgt(cols)
+        self.multi_hit = _SparseVec(cols, 4)
+        self.F1 = _SparseVec(cols, 5)
+        self.R2 = _SparseVec(cols, 6)
+        self.F2 = _SparseVec(cols, 7)
+        self.R1 = _SparseVec(cols, 8)
+
+    def column_size(self, g_pos: int) -> int:
+        return int(self._cols[int(g_pos)][9])
+
+    def region_cov_sum(self, beg: int, end: int) -> int:
+        """sum(cov[beg:end+1]) from device prefix sums."""
+        return self._cov_prefix[end + 1] - self._cov_prefix[beg]

@@ -69,6 +69,8 @@ def load_lib():
             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
         lib.mc_process_batch_cls.argtypes = [
             C.c_void_p, C.c_int32, C.c_int32, C.c_int32] + [C.c_void_p] * 11
+        lib.mc_set_ops_mode.argtypes = [C.c_void_p, C.c_int32]
+        lib.mc_fast_bits.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
         lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
@@ -233,6 +235,20 @@ class NativeEngine:
             _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
             _ptr(stats_io), _ptr(sizes))
         return self._fetch(sizes)
+
+    def set_ops_mode(self, on: bool) -> None:
+        """Device-evidence mode: the C++ pipeline emits an op stream +
+        duplicate-gate entries instead of touching host planes."""
+        self.lib.mc_set_ops_mode(self.ctx, int(on))
+
+    def fetch_fast_bits(self):
+        """Admitted-fast-read bitmask for the batch just processed by
+        process_batch_cls (unique-mapped + passed the duplicate gate)."""
+        nw = np.zeros(1, dtype=np.int64)
+        self.lib.mc_fast_bits(self.ctx, _ptr(nw), None)
+        fbits = np.zeros(max(int(nw[0]), 1), dtype=np.uint32)
+        self.lib.mc_fast_bits(self.ctx, _ptr(nw), _ptr(fbits))
+        return fbits
 
     def process_chunk(self, reads, pair_end: bool, avg_dist: int,
                       seed_counts: np.ndarray, seed_rpos: np.ndarray,

@@ -36,6 +36,7 @@ import numpy as np
 
 K_HITS = 8          # per-read hit window; more => slow path
 MAX_GAPS = 10       # K_HITS + head + tail
+MM_SLOTS = 4        # mismatch positions carried for device evidence
 CLASS_NOCAND = 0
 CLASS_FAST = 1
 CLASS_SLOW = 2
@@ -195,10 +196,27 @@ def classify_reads(ctx: ChainCtx, read_words: jnp.ndarray, rlens: jnp.ndarray,
                              s_rp, -1).max(axis=1)
     rplast = jnp.where(seed_end < rlens, seed_end, seed_last_rp)
 
+    # packed mismatch positions for the on-device evidence kernel
+    # (pipeline/device_profile.py): up to MM_SLOTS of (read_pos << 2 |
+    # read_base), -1 = empty. Reads with more mismatches go slow.
+    key = jnp.where(mmask > 0, max_len - jpos[None, :], 0)
+    _, mmi = jax.lax.top_k(key, MM_SLOTS)                 # leftmost first
+    mrow = jnp.take_along_axis(mmask, mmi, axis=1) > 0
+    rbase = jnp.take_along_axis(read_base(read_words, max_len), mmi, axis=1)
+    mmp = jnp.where(mrow, (mmi << 2) | rbase, -1).astype(jnp.int32)
+
     fast = (has_hits & ~too_many & one_diag & has_can & span_ok
-            & ~dp_any & ~many_gaps & (mm_total < 64))
+            & ~dp_any & ~many_gaps & (mm_total <= MM_SLOTS))
     nocand = (~has_hits) | (has_hits & ~too_many & one_diag & ~has_can)
     cls = jnp.where(fast, CLASS_FAST,
                     jnp.where(nocand, CLASS_NOCAND, CLASS_SLOW))
     return (cls, pd0, mm_total, jnp.clip(rplast, 0, 511),
-            jnp.clip(cscore, 0, 511))
+            jnp.clip(cscore, 0, 511), mmp)
+
+
+def read_base(read_words: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """Expand bwa-order packed read words to per-position codes [B, max_len]."""
+    jpos = np.arange(max_len, dtype=np.int32)
+    wsel = jpos >> 4
+    sh = jnp.asarray(((15 - (jpos & 15)) * 2).astype(np.uint32))
+    return ((read_words[:, wsel] >> sh[None, :]) & 3).astype(jnp.int32)

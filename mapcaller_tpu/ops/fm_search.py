@@ -366,7 +366,7 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
         cw = (crumb[:, :max_len] << cshift[None, :]).reshape(B, nwords, 16)
         words_bwa = cw.sum(axis=2, dtype=jnp.uint32)
 
-        cls, pd0, mm, rplast, cscore = classify_reads(
+        cls, pd0, mm, rplast, cscore, mmp = classify_reads(
             ctx, words_bwa, rlens, hit_read, hit_rpos, hit_len, hit_loc,
             keep, max_len)
         # per-read seed-table overflow forces the host-oracle path
@@ -391,20 +391,23 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
         ovf_bits = jnp.zeros(B // 32, dtype=jnp.int32).at[
             jnp.arange(B) >> 5].add(
             overflow.astype(jnp.int32) << (jnp.arange(B) & 31))
-        return jnp.concatenate([
+        packed_out = jnp.concatenate([
             meta1, pd0, hit_w_c, hit_loc_c, counts2, ovf_bits,
             jnp.stack([total_kept, buffer_overflow.astype(jnp.int32)]),
         ])
+        # pd/mmp stay device-resident for the evidence kernel
+        # (pipeline/device_profile.py); only packed_out is downloaded
+        return packed_out, pd0, mmp
 
     jitted = jax.jit(kernel)
 
     def submit(packed, rlens):
-        dev = jitted(fm_template, chain_ctx, packed, rlens)
+        dev, pd_dev, mmp_dev = jitted(fm_template, chain_ctx, packed, rlens)
         try:
             dev.copy_to_host_async()
         except Exception:
             pass
-        return dev
+        return dev, pd_dev, mmp_dev
 
     def collect(dev_packed):
         p = np.asarray(dev_packed)

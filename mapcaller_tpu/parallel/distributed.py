@@ -51,6 +51,12 @@ def merge_engines(engines: List[MappingEngine]) -> MappingEngine:
     Must be called BEFORE any engine's finalize(): diff arrays and point
     counts are merged raw, then the root finalizes once, so saturation
     happens exactly once over global totals."""
+    for e in engines:
+        if getattr(e, "device_evidence", None) is not None:
+            # pull raw (unfolded, uncapped) diffs so saturation happens
+            # exactly once after the global reduction below
+            e.device_evidence.download_raw_into(e.profile)
+            e.device_evidence = None
     root = engines[0]
     rp = root.profile
     for e in engines[1:]:

@@ -176,8 +176,10 @@ class DeviceBackend:
         kernel = self._chain_kernel_for(bucket, tier, batch=packed.shape[0])
         rl = np.maximum(rlens, 0)
         packed_dev = jnp.asarray(packed)
-        dev = kernel(packed_dev, jnp.asarray(rl))
-        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens)
+        rl_dev = jnp.asarray(rl)
+        dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
+        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                pd_dev, mmp_dev, rl_dev)
 
     def collect_chain(self, token, n: int, read_codes_fn):
         """-> (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen).
@@ -185,14 +187,14 @@ class DeviceBackend:
         forced to the SLOW class; hit-buffer overflow reruns at a larger
         tier."""
         from ..ops.chain_device import CLASS_SLOW
-        kernel, dev, fb_neg, packed_dev, bucket, rlens = token
+        kernel, dev, fb_neg, packed_dev, bucket, rlens = token[:6]
         out = kernel.collect(dev)
         (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
          overflow, buf_ovf) = out
         if buf_ovf:
             kernel2 = self._chain_kernel_for(bucket, tier=18,
                                              batch=len(rlens))
-            dev2 = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
+            dev2, _, _ = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
             (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
              overflow, buf_ovf) = kernel2.collect(dev2)
             if buf_ovf:   # pathological: host oracle for everything

@@ -1,0 +1,324 @@
+"""HBM-resident evidence planes, updated on-device (north star: the
+PFM / orientation / multi-hit tables live in HBM and are updated by
+device kernels, ref contract: src/AlignmentProfile.cpp:41-242).
+
+Layout (int32, genome_size = L):
+
+  acgt        [4, L+1]   mismatch point adds (uncapped; capped at the
+                         finalize fold, exact for +1 streams)
+  exact_diff  [L+2]      +1/-1 endpoints of exact-match coverage; holes
+                         punched at mismatch positions of fast reads
+  f_diff      [4, L+2]   F1/R2/F2/R1 orientation range endpoints
+  multi_diff  [L+2]      multi-hit span endpoints
+
+The per-batch apply kernel consumes
+  * the batch's device-resident chain outputs (diagonal pd, packed
+    mismatch positions, read lengths) for FAST-class reads plus a host
+    bitmask of which of them were admitted (uniquely mapped AND passed
+    the PCR-duplicate gate — the gate counter stays host-side: it is a
+    strictly sequential per-start counter, ~1 cache miss/read, and
+    keeping it on host means every device update is a commutative
+    scatter-add), and
+SLOW-read evidence (6% of reads on typical data, but mismatch-dense:
+~90 ops each) accumulates on the host diff arrays exactly as before;
+its sparse nonzero deltas merge into the device planes once at
+finalize (~1 MB for a full run vs multi-MB per-batch op uploads).
+
+Extra slots (the +1/+2) are scatter dump targets for masked-out lanes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_ALLELE_COUNT = 4095
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DevicePlanes:
+    acgt: jnp.ndarray
+    exact_diff: jnp.ndarray
+    f_diff: jnp.ndarray
+    multi_diff: jnp.ndarray
+    L: int
+
+    def tree_flatten(self):
+        return ((self.acgt, self.exact_diff, self.f_diff, self.multi_diff),
+                (self.L,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def zeros(cls, L: int) -> "DevicePlanes":
+        return cls(acgt=jnp.zeros((4, L + 1), jnp.int32),
+                   exact_diff=jnp.zeros(L + 2, jnp.int32),
+                   f_diff=jnp.zeros((4, L + 2), jnp.int32),
+                   multi_diff=jnp.zeros(L + 2, jnp.int32),
+                   L=L)
+
+
+@functools.lru_cache(maxsize=None)
+def build_apply_kernel(L: int, two_l: int, B: int, pair_end: bool):
+    """jit fn(planes, pd[B], mmp[B,8], rlens[B], fast_bits[B/32])
+    -> planes. Applies the admitted FAST reads' evidence: coverage +
+    orientation range endpoints, mismatch holes, read-base point adds
+    (ref semantics: AlignmentProfile.cpp:41-119 via the diff design)."""
+
+    def kernel(planes: DevicePlanes, pd, mmp, rlens, fast_bits):
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        adm = ((fast_bits[bidx >> 5] >> (bidx & 31)) & 1) == 1
+        ori = pd < L
+        g_start = jnp.where(ori, pd, two_l - pd - rlens)
+        g_start = jnp.clip(g_start, 0, L - 1)
+        end = jnp.minimum(g_start + rlens, L)
+
+        exact = planes.exact_diff
+        dumpE = jnp.int32(L + 1)
+        exact = exact.at[jnp.where(adm, g_start, dumpE)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        exact = exact.at[jnp.where(adm, end, dumpE)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+        if pair_end:
+            b_first = (bidx & 1) == 0
+        else:
+            b_first = jnp.ones(B, bool)
+        fpl = jnp.where(b_first, jnp.where(ori, 0, 3),
+                        jnp.where(ori, 1, 2)).astype(jnp.int32)
+        fd = planes.f_diff.reshape(-1)
+        dumpF = jnp.int32(4 * (L + 2) - 1)
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + g_start, dumpF)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + end, dumpF)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+
+        # mismatch holes + read-base point adds: mmp packs (r << 2 | base),
+        # -1 = empty slot (ops/chain_device.classify_reads)
+        acgt = planes.acgt.reshape(-1)
+        dumpA = jnp.int32(4 * (L + 1) - 1)
+        for k in range(mmp.shape[1]):
+            e = mmp[:, k]
+            on = adm & (e >= 0)
+            r = e >> 2
+            base = e & 3
+            p = jnp.where(ori, pd + r, two_l - 1 - (pd + r))
+            p = jnp.clip(p, 0, L - 1)
+            exact = exact.at[jnp.where(on, p, dumpE)].add(
+                jnp.where(on, -1, 0), mode="drop")
+            exact = exact.at[jnp.where(on, p + 1, dumpE)].add(
+                jnp.where(on, 1, 0), mode="drop")
+            pb = jnp.where(ori, base, 3 - base)
+            acgt = acgt.at[jnp.where(on, pb * (L + 1) + p, dumpA)].add(
+                jnp.where(on, 1, 0), mode="drop")
+
+        return DevicePlanes(acgt=acgt.reshape(4, L + 1),
+                            exact_diff=exact,
+                            f_diff=fd.reshape(4, L + 2),
+                            multi_diff=planes.multi_diff, L=L)
+
+    return jax.jit(kernel, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def build_host_merge_kernel(L: int, N: int):
+    """Scatter-add the host profile's sparse nonzero deltas (slow-read
+    evidence) into the device planes: one call at finalize. idx arrays
+    address the flattened planes; n marks valid prefix length."""
+
+    def kernel(planes: DevicePlanes, idx_a, val_a, n_a, idx_e, val_e, n_e,
+               idx_f, val_f, n_f, idx_m, val_m, n_m):
+        on = jnp.arange(N, dtype=jnp.int32)
+        acgt = planes.acgt.reshape(-1)
+        acgt = acgt.at[jnp.where(on < n_a, idx_a, 4 * (L + 1) - 1)].add(
+            jnp.where(on < n_a, val_a, 0), mode="drop")
+        exact = planes.exact_diff.at[
+            jnp.where(on < n_e, idx_e, L + 1)].add(
+            jnp.where(on < n_e, val_e, 0), mode="drop")
+        fd = planes.f_diff.reshape(-1)
+        fd = fd.at[jnp.where(on < n_f, idx_f, 4 * (L + 2) - 1)].add(
+            jnp.where(on < n_f, val_f, 0), mode="drop")
+        multi = planes.multi_diff.at[
+            jnp.where(on < n_m, idx_m, L + 1)].add(
+            jnp.where(on < n_m, val_m, 0), mode="drop")
+        return DevicePlanes(acgt=acgt.reshape(4, L + 1), exact_diff=exact,
+                            f_diff=fd.reshape(4, L + 2), multi_diff=multi,
+                            L=L)
+
+    return jax.jit(kernel, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def build_finalize_kernel(L: int):
+    """Fold the diff endpoints (mirrors Profile.finalize_diffs): returns
+    (acgt_final int32[4,L] capped with exact coverage credited to the
+    reference base, F int32[4,L], multi int32[L] capped, cov int32[L],
+    cov_prefix int32[L+1])."""
+
+    def kernel(planes: DevicePlanes, ref_codes):
+        exact = jnp.cumsum(planes.exact_diff[:L])
+        rc = ref_codes[:L]
+        acgt = planes.acgt[:, :L] + (jnp.arange(4, dtype=jnp.int32)[:, None]
+                                     == rc[None, :]) * exact[None, :]
+        acgt = jnp.minimum(acgt, MAX_ALLELE_COUNT)
+        F = jnp.cumsum(planes.f_diff[:, :L], axis=1)
+        multi = jnp.minimum(jnp.cumsum(planes.multi_diff[:L]),
+                            MAX_ALLELE_COUNT)
+        cov = acgt.sum(axis=0)
+        cov_prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                      jnp.cumsum(cov)])
+        return acgt, F, multi, cov, cov_prefix
+
+    return jax.jit(kernel)
+
+
+def _pad(a: np.ndarray, n: int, dtype=np.int32) -> np.ndarray:
+    out = np.zeros(n, dtype=dtype)
+    out[:a.size] = a
+    return out
+
+
+class DeviceEvidence:
+    """Owns the HBM planes for one run: per-batch apply of fast-read
+    evidence + the finalize fold (which first merges the host-side
+    slow-read deltas) + the dense caller scan + sparse column fetches.
+    Falls back to a full plane download for gVCF/monomorphic/observe."""
+
+    MERGE_TIERS = (1 << 16, 1 << 18, 1 << 20, 1 << 23)
+
+    def __init__(self, backend, cfg, host_profile):
+        self.be = backend
+        self.cfg = cfg
+        self.host_profile = host_profile
+        self.L = backend.idx.genome_size
+        self.two_l = backend.idx.seq_len
+        self.planes = DevicePlanes.zeros(self.L)
+        self._final = None
+        self._scan = None
+
+    def apply_batch(self, token, fast_bits: np.ndarray,
+                    pair_end: bool) -> None:
+        """token: the submit_chain token of the batch just processed by
+        the host; fast_bits: admitted fast reads (unique-mapped AND
+        passed the host-side duplicate gate)."""
+        pd_dev, mmp_dev, rl_dev = token[6], token[7], token[8]
+        B = int(rl_dev.shape[0])
+        kern = build_apply_kernel(self.L, self.two_l, B, bool(pair_end))
+        fb = np.zeros((B + 31) // 32, dtype=np.int32)
+        fb[:fast_bits.size] = fast_bits.view(np.int32)
+        self.planes = kern(self.planes, pd_dev, mmp_dev, rl_dev,
+                           jnp.asarray(fb))
+
+    # ------------------------------------------------------------------
+    def _ref_codes_dev(self):
+        """Forward-genome codes [L] derived from the device text words."""
+        ctx = self.be.chain_ctx
+        L = self.L
+        nw = (L + 15) // 16
+        words = ctx.text_words[:nw]
+        sh = jnp.asarray(((15 - (np.arange(16) & 15)) * 2).astype(np.uint32))
+        crumbs = ((words[:, None] >> sh[None, :]) & 3).astype(jnp.int32)
+        return crumbs.reshape(-1)[:L]
+
+    def _merge_host_deltas(self) -> None:
+        """Scatter the host profile's slow-read evidence (sparse nonzero
+        diff entries + point adds) into the device planes, once."""
+        p = self.host_profile
+        L = self.L
+
+        def nz(arr, base, width):
+            a = np.asarray(arr).reshape(-1)
+            idx = np.nonzero(a)[0]
+            return idx.astype(np.int32), a[idx].astype(np.int32)
+
+        ia, va = nz(p.acgt, 0, 0)
+        # host acgt is [4, L]; device flat stride is L+1
+        ia = (ia // L) * (L + 1) + (ia % L)
+        ie, ve = nz(p.exact_diff, 0, 0)
+        fparts = []
+        for k, name in enumerate(("F1_diff", "R2_diff", "F2_diff",
+                                  "R1_diff")):
+            i, v = nz(getattr(p, name), 0, 0)
+            fparts.append((i + k * (L + 2), v))
+        if_ = np.concatenate([x[0] for x in fparts])
+        vf = np.concatenate([x[1] for x in fparts])
+        im, vm = nz(p.multi_diff, 0, 0)
+        n = max(ia.size, ie.size, if_.size, im.size, 1)
+        N = next(t for t in self.MERGE_TIERS if t >= n)
+        kern = build_host_merge_kernel(L, N)
+        self.planes = kern(
+            self.planes,
+            jnp.asarray(_pad(ia, N)), jnp.asarray(_pad(va, N)),
+            jnp.int32(ia.size),
+            jnp.asarray(_pad(ie, N)), jnp.asarray(_pad(ve, N)),
+            jnp.int32(ie.size),
+            jnp.asarray(_pad(if_, N)), jnp.asarray(_pad(vf, N)),
+            jnp.int32(if_.size),
+            jnp.asarray(_pad(im, N)), jnp.asarray(_pad(vm, N)),
+            jnp.int32(im.size))
+        # zero the host-side copies so a later download doesn't double-add
+        p.acgt[:] = 0
+        p.exact_diff[:] = 0
+        for name in ("F1_diff", "R2_diff", "F2_diff", "R1_diff",
+                     "multi_diff"):
+            getattr(p, name)[:] = 0
+
+    def finalize(self):
+        """Merge host deltas + fold diffs on device ->
+        (acgt, F, multi, cov, cov_prefix), all device-resident."""
+        if self._final is None:
+            self._merge_host_deltas()
+            kern = build_finalize_kernel(self.L)
+            self._final = kern(self.planes, self._ref_codes_dev())
+        return self._final
+
+    def scan(self):
+        """Dense caller scan (cached); returns host-side
+        (block_depth int64[nb], cand_idx, run_start, run_val, scalars)."""
+        if self._scan is not None:
+            return self._scan
+        from ..calling.scan_device import build_scan_kernel
+        acgt, F, multi, cov, cov_prefix = self.finalize()
+        kern = build_scan_kernel(self.L, bool(self.cfg.somatic))
+        freq_base = 0.01 if self.cfg.somatic else self.cfg.frequency_thr
+        bd, cand_idx, run_start, run_val, scalars = kern(
+            acgt, multi, cov, self._ref_codes_dev(),
+            jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
+        self._scan = (np.asarray(bd).astype(np.int64), np.asarray(cand_idx),
+                      np.asarray(run_start), np.asarray(run_val),
+                      np.asarray(scalars))
+        return self._scan
+
+    def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray):
+        from ..calling.scan_device import build_fetch_kernel
+        acgt, F, multi, cov, cov_prefix = self.finalize()
+        kern = build_fetch_kernel(self.L)
+        cols, pref = kern(acgt, multi, F, cov, cov_prefix,
+                          jnp.asarray(positions.astype(np.int32)),
+                          jnp.asarray(prefix_pts.astype(np.int32)))
+        return np.asarray(cols), np.asarray(pref)
+
+    def download_raw_into(self, profile) -> None:
+        """Add the device planes' raw (unfolded, uncapped) contributions
+        into the host profile's diff arrays — for merge_engines and the
+        gVCF/monomorphic/observe fallbacks, so saturation happens once
+        on the final fold. Expensive over the tunnel; free on CPU."""
+        L = self.L
+        profile.alloc_diffs() if profile.F1_diff is None else None
+        profile.exact_diff += np.asarray(self.planes.exact_diff)[:L + 1]
+        fd = np.asarray(self.planes.f_diff)
+        profile.F1_diff += fd[0, :L + 1]
+        profile.R2_diff += fd[1, :L + 1]
+        profile.F2_diff += fd[2, :L + 1]
+        profile.R1_diff += fd[3, :L + 1]
+        profile.multi_diff += np.asarray(self.planes.multi_diff)[:L + 1]
+        profile.acgt += np.asarray(self.planes.acgt)[:, :L]
+
+    def download_into(self, profile) -> None:
+        """Fallback path: fold everything into the host Profile arrays
+        (profile.finalize_diffs completes the fold on host)."""
+        self.download_raw_into(profile)

@@ -62,6 +62,7 @@ class MappingEngine:
         # is observable through the brace bug at ReadMapping.cpp:502)
         self._discord_gpos = 0
         self.backend = backend  # optional device batch runner
+        self.device_evidence = None  # HBM evidence planes (stream path)
         self.native = None      # optional C++ chunk processor
         if use_native is None:
             use_native = cfg.use_native
@@ -293,12 +294,27 @@ class MappingEngine:
     # ------------------------------------------------------------------
     def finalize(self) -> None:
         """Post-mapping statistics (ref: ReadMapping.cpp:627-643,767-790)."""
-        if self.profile is not None and self.profile.F1_diff is not None:
+        cfg = self.cfg
+        if self.device_evidence is not None and (
+                cfg.gvcf or cfg.monomorphic or cfg.obs_pos >= 0
+                or cfg.obr_beg >= 0):
+            # modes whose record emission walks dense planes: download
+            # them into the host profile and take the legacy path
+            self.device_evidence.download_into(self.profile)
+            self.device_evidence = None
+        if (self.profile is not None and self.profile.F1_diff is not None
+                and self.device_evidence is None):
             self.profile.finalize_diffs(self.idx.ref.ref_sequence_codes())
         self.tnl_sites.sort(key=lambda p: p[0])
         self.inv_sites.sort(key=lambda p: p[0])
         st = self.stats
-        if self.cfg.vcf_output and self.profile is not None:
+        if self.cfg.vcf_output and self.device_evidence is not None:
+            _, _, _, _, scalars = self.device_evidence.scan()
+            n_aligned = int(scalars[2])
+            if n_aligned > 0:
+                total = (int(scalars[3]) << 8) + int(scalars[4])
+                st.avg_cov = int(total / n_aligned + 0.5)
+        elif self.cfg.vcf_output and self.profile is not None:
             cov = self.profile.acgt.sum(axis=0)
             aligned = cov > 0
             n_aligned = int(aligned.sum())
@@ -310,6 +326,15 @@ class MappingEngine:
             st.fragment_size = st.avg_dist + st.avg_read_length
         else:
             st.avg_dist = st.avg_read_length = 0
+
+    def materialize_profile(self) -> None:
+        """Download the device evidence planes into the host profile and
+        fold (tests, observe dumps, fallback modes); no-op otherwise."""
+        if self.device_evidence is not None:
+            self.device_evidence.download_into(self.profile)
+            self.device_evidence = None
+            if self.profile.F1_diff is not None:
+                self.profile.finalize_diffs(self.idx.ref.ref_sequence_codes())
 
     def duplication_rate(self) -> Tuple[int, int]:
         """(ref: ReadMapping.cpp:670-687)"""

@@ -82,6 +82,10 @@ class Profile:
             np.minimum(plane, MAX_ALLELE_COUNT, out=plane)
 
     # -- helpers ---------------------------------------------------------
+    def region_cov_sum(self, beg: int, end: int) -> int:
+        """sum of per-position coverage over [beg, end] inclusive."""
+        return int(self.acgt[:, beg:end + 1].sum())
+
     def column_size(self, g_pos: int) -> int:
         """(ref: tools.cpp:166-169)"""
         return int(self.acgt[:, g_pos].sum())

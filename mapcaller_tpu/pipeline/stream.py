@@ -33,8 +33,15 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
     engine.profile (in place via C++), engine.inv_sites/tnl_sites."""
     native = engine.native
     be = engine.backend
+    use_device_evidence = (cfg.vcf_output and be.chain_enabled
+                           and getattr(cfg, "device_evidence", True))
     if cfg.vcf_output:
+        # slow-read evidence always accumulates in the host diff arrays
         engine.enable_diff_profile()
+    if use_device_evidence:
+        from .device_profile import DeviceEvidence
+        engine.device_evidence = DeviceEvidence(be, cfg, engine.profile)
+        native.set_ops_mode(True)
     stats_io = np.zeros(6, dtype=np.int64)
     stats_io[5] = engine.stats.avg_dist
 
@@ -81,6 +88,10 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 sam_text, st = native.process_batch_cls(
                     pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
                     counts, rp, gp, ln, stats_io)
+                if engine.device_evidence is not None:
+                    fbits = native.fetch_fast_bits()
+                    engine.device_evidence.apply_batch(ptoken, fbits,
+                                                       pair_end)
             else:
                 counts, rp, gp, ln = be.collect_packed(
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))

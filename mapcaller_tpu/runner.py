@@ -221,10 +221,22 @@ def run_calling(engine: MappingEngine, cfg: Config, cmd_line: str) -> dict:
     t0 = time.time()
     genome = engine.genome
     profile = engine.profile
-    block_depth = cal_block_read_depth(profile, genome.genome_size)
     _log(cfg, f"Identify all variants (min_alt_allele_depth={cfg.min_allele_depth})...")
-    variants = identify_variants(cfg, genome, profile,
-                                 engine.idx.ref.ref_sequence_codes(), block_depth)
+    if engine.device_evidence is not None:
+        from .calling.device_call import device_identify
+        res = device_identify(engine, cfg, genome)
+        if res is None:   # capacity overflow: legacy path on host planes
+            engine.device_evidence.download_into(profile)
+            engine.device_evidence = None
+            if profile.F1_diff is not None:
+                profile.finalize_diffs(engine.idx.ref.ref_sequence_codes())
+        else:
+            block_depth, profile, variants = res
+    if engine.device_evidence is None:
+        block_depth = cal_block_read_depth(profile, genome.genome_size)
+        variants = identify_variants(cfg, genome, profile,
+                                     engine.idx.ref.ref_sequence_codes(),
+                                     block_depth)
     if cfg.gvcf:
         variants = remove_consecutive_genomic_variant(variants)
 

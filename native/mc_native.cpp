@@ -69,6 +69,12 @@ struct Ctx {
   bool fastq = true;
   // persistent DiscordPair state (mirrors ReadMapping.cpp:420 reuse bug)
   i64 discord_gpos = 0;
+  // device-evidence mode: instead of touching the (host) planes, emit a
+  // compact op stream + per-read duplicate-gate entries; a JAX kernel
+  // applies them to the HBM-resident planes with exact file-order gate
+  // semantics (pipeline/device_profile.py)
+  bool ops_mode = false;   // fast-read evidence applied on device
+  std::vector<uint32_t> fast_bits;
   // diff mode: every exactly-matching base credits the REFERENCE base's
   // plane (an exact seed's read base equals the forward-strand ref base
   // at that position, on either strand), so matched runs become +1/-1
@@ -1189,11 +1195,25 @@ static void fast_profile(Ctx& c, bool b_first, Read& rd, AlnCan& can) {
   }
 }
 
-static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
+static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs,
+                           i32 order) {
   bool emit = c.emit_segments;
   for (auto& can : rd.cans) {
     if (can.score == 0) continue;
-    if (can.fast) { fast_profile(c, b_first, rd, can); continue; }
+    if (can.fast) {
+      if (c.ops_mode) {
+        // evidence is applied on device from the device-resident chain
+        // outputs; the sequential PCR-duplicate gate stays host-side
+        // (ref: AlignmentProfile.cpp:76) and filters the admit bitmask
+        bool ori = can.orientation;
+        i64 gs = ori ? rd.fast_pd : c.two_l - rd.fast_pd - rd.rlen;
+        if (c.read_count[gs] < c.max_duplicate) {
+          c.read_count[gs]++;
+          c.fast_bits[order >> 5] |= 1u << (order & 31);
+        }
+      } else fast_profile(c, b_first, rd, can);
+      continue;
+    }
     auto& frags = can.frags;
     const FragPair& first = frags.front();
     const FragPair& last = frags.back();
@@ -1212,12 +1232,13 @@ static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs) {
       if (rd.rlen - last.rPos > c.max_clip_size) continue;
     }
     i64 g_start = can.orientation ? first.gPos : c.two_l - (first.gPos + first.gLen);
+    i64 end = std::min<i64>(g_start + rd.rlen, c.L);
+    int fplane = b_first ? (can.orientation ? 0 : 3)
+                         : (can.orientation ? 1 : 2);
     if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
     else continue;
-    i64 end = std::min<i64>(g_start + rd.rlen, c.L);
     if (emit) {
-      i32* fd = c.f_diff[b_first ? (can.orientation ? 0 : 3)
-                                 : (can.orientation ? 1 : 2)];
+      i32* fd = c.f_diff[fplane];
       fd[g_start]++;
       fd[end]--;
     } else {
@@ -1518,7 +1539,7 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
         Read& rd = reads[i];
         if (rd.score == 0) continue;
         if (check_aln_number(rd.cans) == 1)
-          update_profile(c, i % 2 == 0, rd, o.events);
+          update_profile(c, i % 2 == 0, rd, o.events, i);
         else update_multi_hit(c, rd);
       }
       g_prof_ns[3] += now_ns() - tv0;
@@ -1535,7 +1556,7 @@ static void process_span(Ctx& c, vector<Read>& reads, i32 lo, i32 hi,
       for (i32 i = lo; i < n_reads; i++) {
         Read& rd = reads[i];
         if (rd.score == 0) continue;
-        if (check_aln_number(rd.cans) == 1) update_profile(c, true, rd, o.events);
+        if (check_aln_number(rd.cans) == 1) update_profile(c, true, rd, o.events, i);
         else update_multi_hit(c, rd);
       }
     }
@@ -1811,6 +1832,17 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
 // host pipeline would produce none), 1=FAST (diagonal-identity
 // candidate synthesized from pd/mm/rplast/cscore), 2=SLOW (real seeds
 // follow in the flat arrays, exactly as mc_process_batch).
+void mc_set_ops_mode(void* ctx, i32 on) {
+  ((Ctx*)ctx)->ops_mode = on != 0;
+}
+
+// per-batch device-evidence output: the admitted-fast-read bitmask
+void mc_fast_bits(void* ctx, i64* n_words, uint32_t* fbits) {
+  Ctx& c = *(Ctx*)ctx;
+  n_words[0] = (i64)c.fast_bits.size();
+  if (fbits) memcpy(fbits, c.fast_bits.data(), c.fast_bits.size() * 4);
+}
+
 void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                           const i32* cls, const i32* pd, const i32* mm,
                           const i32* rplast, const i32* cscore,
@@ -1823,6 +1855,7 @@ void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
   ChunkOut& o = g_out;
   o = ChunkOut();
   i32 n = b.n;
+  if (c.ops_mode) c.fast_bits.assign(((size_t)n + 31) / 32, 0u);
   i64 t0 = now_ns();
   vector<Read> reads(n);
   i64 soff = 0;

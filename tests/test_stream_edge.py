@@ -71,6 +71,7 @@ def test_stream_matches_host_engine_on_edge_reads(toy_fasta, edge_files,
     parts = []
     run_stream_mapping(stream, cfg_s, time.time(), parts.append)
     stream.finalize()
+    stream.materialize_profile()   # device evidence planes -> host arrays
     stream_sam = sam_headers(stream.genome, "0.9.9.41")
     stream_sam.extend("".join(parts).splitlines())
 
