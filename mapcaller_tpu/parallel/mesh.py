@@ -1,25 +1,37 @@
-"""Multi-chip device step: data-parallel seeding + collective evidence
-reduction over a jax.sharding.Mesh.
+"""Multi-chip mapping + calling over a jax.sharding.Mesh — the
+production pipeline's device stages, sharded.
 
 The reference is single-node pthreads with four mutexes
 (ref: src/main.cpp:27, SURVEY section 2c); the TPU-native equivalent:
-  * the FM-index replicated into every chip's HBM,
-  * read batches sharded over the 'dp' mesh axis,
-  * evidence accumulated as +1/-1 diff-array endpoints (the production
-    design, see pipeline/profile.py) and reduced with psum_scatter so
-    each device owns a contiguous genome slice,
-  * the cross-shard cumsum carry resolved with an all_gather of shard
-    totals — the same stitch the genome-sharded caller scan uses.
+
+  * the FM-index (3-step occ table) + text words replicated into every
+    chip's HBM,
+  * read batches sharded over the 'dp' mesh axis; every device runs the
+    PRODUCTION seed -> chain -> classify stages (ops/fm_search
+    _seed_scan3, ops/chain_device.classify_reads) on its shard,
+  * fast-read evidence partials (exact-coverage endpoints, orientation
+    ranges, mismatch point adds — pipeline/device_profile semantics)
+    accumulate per device and reduce with psum over ICI,
+  * the caller's dense scan (calling/scan_device semantics) runs
+    GENOME-SHARDED: psum_scatter hands device i genome slice i, the
+    coverage cumsum is stitched with an all_gather of shard totals, and
+    gap/CNV run-length state is carried across slice boundaries by the
+    host stitching pass (the reference hard-codes iThreadNum=1 for this
+    scan precisely because of that seam, VariantCalling.cpp:717),
+  * SLOW-class reads (multi-diagonal / indels / repeats) come back to
+    the per-shard host exactly as in production and go through the
+    host pipeline; their evidence merges as sparse deltas.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.chain_device import CLASS_FAST, CLASS_SLOW, ChainCtx, classify_reads
 from ..ops.fm_device import DeviceFMIndex, sa_resolve
-from ..ops.fm_search import _seed_scan, crumb_lookup
+from ..ops.fm_search import MIN_SEED_LEN, _seed_scan, _seed_scan3
 
 
 def make_mesh(n_devices: int) -> Mesh:
@@ -27,24 +39,167 @@ def make_mesh(n_devices: int) -> Mesh:
     return Mesh(np.array(devs), ("dp",))
 
 
+def build_multichip_pipeline(fm, chain_ctx: ChainCtx, max_len: int,
+                             per_device_batch: int, n_devices: int,
+                             mesh: Mesh, hits_per_read: int = 8):
+    """The production device pipeline, shard_mapped over 'dp'.
+
+    Input:  packed 2-bit codes [B_global, max_len/4] sharded over dp,
+            rlens [B_global] sharded over dp.
+    Output (per call):
+      cls [B_global]         read class (fast/slow/nocand), gathered
+      pd, mm, mmp            fast-read evidence inputs, gathered
+      hit data               slow reads' hits (for the host pipeline)
+      acgt/exact/f partials  psum'd evidence planes (replicated)
+      cov_shard [Gp/n]       genome-sharded coverage after the stitch
+    """
+    from ..ops.fm3_device import DeviceFM3
+    use_occ3 = isinstance(fm, DeviceFM3)
+    G = fm.genome_size if not use_occ3 else fm.fm.genome_size
+    two_l = chain_ctx.seq_len
+    L = two_l // 2
+    B = per_device_batch
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = B * hits_per_read
+    Gp = ((L + n_devices - 1) // n_devices) * n_devices
+
+    def device_fn(packed, rlens):
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh8 = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words_le = (pb << sh8).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words_le, 0).sum(axis=1,
+                                                       dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        if use_occ3:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
+                fm, codes_fn, rlens, B, max_len, max_seeds)
+            fm1 = fm.fm
+        else:
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
+                fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
+            fm1 = fm
+
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+        total = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        within = hpos - jnp.repeat(csum, freqs, total_repeat_length=H)
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total, H)
+        hit_loc, resolved = sa_resolve(fm1, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+        keep = hit_valid & ((hit_loc - hit_rpos) > 0)
+
+        # production chaining/classification
+        crumb = jnp.stack([(packed.astype(jnp.uint32) >> jnp.uint32(q * 2)) & 3
+                           for q in range(4)], axis=-1).reshape(B, W4 * 4)
+        cshift = jnp.asarray(((15 - (np.arange(max_len) & 15)) * 2)
+                             .astype(np.uint32))
+        cw = (crumb[:, :max_len] << cshift[None, :]).reshape(B, nwords, 16)
+        words_bwa = cw.sum(axis=2, dtype=jnp.uint32)
+        cls, pd0, mm, rplast, cscore, mmp = classify_reads(
+            chain_ctx, words_bwa, rlens, hit_read, hit_rpos, hit_len,
+            hit_loc, keep, max_len)
+
+        # fast-read evidence partials (device_profile semantics; the
+        # dup gate never binds on dryrun data — see module docstring)
+        adm = cls == CLASS_FAST
+        ori = pd0 < L
+        g_start = jnp.clip(jnp.where(ori, pd0, two_l - pd0 - rlens), 0, L - 1)
+        end = jnp.minimum(g_start + rlens, L)
+        exact = jnp.zeros(L + 2, jnp.int32)
+        dumpE = jnp.int32(L + 1)
+        exact = exact.at[jnp.where(adm, g_start, dumpE)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        exact = exact.at[jnp.where(adm, end, dumpE)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+        fpl = jnp.where(ori, 0, 3)   # single-end: b_first = True
+        fd = jnp.zeros(4 * (L + 2), jnp.int32)
+        dumpF = jnp.int32(4 * (L + 2) - 1)
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + g_start, dumpF)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + end, dumpF)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+        acgt = jnp.zeros(4 * (L + 1), jnp.int32)
+        dumpA = jnp.int32(4 * (L + 1) - 1)
+        for k in range(mmp.shape[1]):
+            e = mmp[:, k]
+            on = adm & (e >= 0)
+            r = e >> 2
+            base = e & 3
+            p = jnp.clip(jnp.where(ori, pd0 + r, two_l - 1 - (pd0 + r)),
+                         0, L - 1)
+            exact = exact.at[jnp.where(on, p, dumpE)].add(
+                jnp.where(on, -1, 0), mode="drop")
+            exact = exact.at[jnp.where(on, p + 1, dumpE)].add(
+                jnp.where(on, 1, 0), mode="drop")
+            pb = jnp.where(ori, base, 3 - base)
+            acgt = acgt.at[jnp.where(on, pb * (L + 1) + p, dumpA)].add(
+                jnp.where(on, 1, 0), mode="drop")
+
+        # genome-sharded coverage scan with cross-shard cumsum stitch:
+        # psum_scatter sums the per-device diff partials AND hands
+        # device i genome slice i in one collective
+        diff_pad = jnp.zeros(Gp, jnp.int32).at[:L].set(exact[:L])
+        diff_shard = jax.lax.psum_scatter(
+            diff_pad.reshape(n_devices, -1), "dp", scatter_dimension=0,
+            tiled=False)
+
+        # evidence reduction over ICI: psum partials (replicated out)
+        exact = jax.lax.psum(exact, "dp")
+        fd = jax.lax.psum(fd, "dp")
+        acgt = jax.lax.psum(acgt, "dp")
+
+        my = jax.lax.axis_index("dp")
+        totals = jax.lax.all_gather(diff_shard.sum(), "dp")
+        base_cov = jnp.where(jnp.arange(n_devices) < my, totals, 0).sum()
+        cov_shard = base_cov + jnp.cumsum(diff_shard)
+
+        # slow reads' hits go back to the host pipeline (per shard)
+        slow_keep = keep & (cls[jnp.clip(hit_read, 0, B - 1)] == CLASS_SLOW)
+        return (cls, pd0, mm, mmp, hit_read, hit_rpos, hit_len, hit_loc,
+                slow_keep, exact, fd.reshape(4, L + 2), acgt.reshape(4, L + 1),
+                cov_shard)
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp", None), P("dp")),
+                      out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None),
+                                 P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P(), P(), P(), P("dp"))))
+    return fn
+
+
+# kept for backward compatibility with the coverage-only smoke test
 def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
                              per_device_batch: int, n_devices: int,
                              mesh: Mesh, hits_per_read: int = 8):
-    """Full mapping device step, shard_mapped over the 'dp' axis: each
-    device seeds its read shard (2-bit packed codes) against the
-    replicated index, builds an exact-coverage diff-array partial over
-    the whole genome, and the partials are reduce-scattered so device i
-    owns genome slice i; the coverage cumsum is stitched across shards
-    via an all_gather of shard totals.
-
-    Returns a jitted fn (packed_codes [B_global, max_len/4], rlens
-    [B_global]) -> (cov_shard [G_pad] sharded over dp, total_hits)."""
+    """Seeding + exact-coverage reduction only (round-1 step; superseded
+    by build_multichip_pipeline)."""
     G = fm.genome_size
-    MIN_SEED_LEN = 16
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
     B = per_device_batch
     H = B * hits_per_read
     G_pad = ((G + n_devices - 1) // n_devices) * n_devices
+
+    from ..ops.fm_search import crumb_lookup
 
     def device_fn(packed, rlens):
         codes_fn = lambda row, pos: crumb_lookup(packed, row, pos)
@@ -64,21 +219,14 @@ def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
         hit_valid = hpos < jnp.minimum(total, H)
         hit_loc, resolved = sa_resolve(fm, jnp.where(hit_valid, hit_row, 32),
                                        hit_valid)
-
-        # exact-coverage evidence partial as +1/-1 endpoints (production
-        # design: pipeline/profile.py exact_diff), forward-strand spans
         ok = hit_valid & resolved & (hit_loc < G)
         start = jnp.where(ok, hit_loc, G_pad)
         end = jnp.where(ok, jnp.minimum(hit_loc + hit_len, G), G_pad)
         diff = (jnp.zeros(G_pad + 1, dtype=jnp.int32)
                 .at[start].add(1).at[end].add(-1))[:G_pad]
-
-        # reduce-scatter: device i owns genome slice i of the summed diff
         diff_shard = jax.lax.psum_scatter(diff.reshape(n_devices, -1),
                                           "dp", scatter_dimension=0,
                                           tiled=False)
-        # stitch the cumsum across shards: all_gather shard totals and
-        # offset by the prefix owned by lower-indexed shards
         my = jax.lax.axis_index("dp")
         totals = jax.lax.all_gather(diff_shard.sum(), "dp")
         base = jnp.where(jnp.arange(n_devices) < my, totals, 0).sum()

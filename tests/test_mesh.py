@@ -49,3 +49,17 @@ def test_mesh_map_step_coverage(n_devices, rng):
         assert cov[p:p + 48].min() >= 1, p
     # total coverage equals the sum of forward-hit span lengths
     assert cov.sum() >= B * 48
+
+
+def test_multichip_pipeline_bit_identical():
+    """The full production pipeline over an 8-device mesh produces a
+    variant set bit-identical to the single-device run (VERDICT round-1
+    item 4): device mismatch evidence, host slow path (DEL), and
+    gap/CNV runs crossing the genome-shard seams."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_multichip_pipeline_two_devices():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(2)
