@@ -1,0 +1,220 @@
+"""Multi-host execution harness: jax.distributed + per-host input
+shards + ONE cross-host allreduce of the evidence planes.
+
+Production deployment shape (north star): each host maps its shard of
+the read stream on its own chips (the in-process pipeline of
+pipeline/stream.py), evidence accumulates in diff arrays, and a single
+psum over the global mesh (ICI in-slice, DCN across hosts) reduces the
+planes before host 0 runs the caller. This module is that harness; the
+multi-process CPU backend (one process per "host", one virtual device
+each) rehearses the exact collective code path without TPU pod
+hardware — the 2-process test asserts the merged VCF is byte-identical
+to a single-process run.
+
+Caveats mirrored from parallel/distributed.py: the PCR-duplicate gate
+is per-host (shard duplicates together to preserve it); paired-end
+fragment-size estimation is per-host (the reference has no multi-host
+mode to define a contract against).
+
+Event maps (indel seqs <= 8 bases, breakpoints) ride a second
+collective: each event packs into an int32 pair
+(gpos, kind << 28 | len << 24 | 2-bit seq), all_gathered and decoded on
+host 0 (JAX default arrays are int32; int64 would silently truncate).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+from typing import List, Tuple
+
+import numpy as np
+
+EVENT_CAP = 1 << 16
+SITE_CAP = 1 << 14
+
+
+def _encode_events(profile, two_l: int) -> np.ndarray:
+    """(gpos, kind, seq) events -> int32[N, 2]. kind: 0 bp, 1 ins, 2 del.
+    (int32 pairs: JAX default arrays are int32; int64 would truncate.)"""
+    out = []
+
+    def pack(g, kind, seq, count):
+        if len(seq) > 8 or g >= (1 << 31):
+            raise ValueError("event out of packing range")
+        s2 = 0
+        for i, ch in enumerate(seq):
+            s2 |= "ACGT".index(ch) << (2 * i)
+        for _ in range(count):
+            out.append((g, (kind << 28) | (len(seq) << 24) | s2))
+
+    for g, cnt in profile.break_point.items():
+        pack(g, 0, "", cnt)
+    for kind, table in ((1, profile.insert_map), (2, profile.delete_map)):
+        for g, inner in table.items():
+            for seq, cnt in inner.items():
+                pack(g, kind, seq, cnt)
+    return np.asarray(out, dtype=np.int32).reshape(-1, 2)
+
+
+def _decode_events(arr: np.ndarray, profile) -> None:
+    for g, meta in arr.reshape(-1, 2).tolist():
+        if meta < 0:
+            continue
+        kind = (meta >> 28) & 3
+        ln = (meta >> 24) & 15
+        seq = "".join("ACGT"[(meta >> (2 * i)) & 3] for i in range(ln))
+        if kind == 0:
+            profile.break_point[g] = profile.break_point.get(g, 0) + 1
+        else:
+            tbl = profile.insert_map if kind == 1 else profile.delete_map
+            inner = tbl.setdefault(g, {})
+            inner[seq] = inner.get(seq, 0) + 1
+
+
+def run_host(process_id: int, num_processes: int, coordinator: str,
+             fasta: str, reads: str, out_vcf: str, cmd_line: str) -> None:
+    """One 'host' process: map the local read shard, then reduce
+    evidence with a single global psum and (on host 0) call variants."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..calling.caller import cal_block_read_depth, identify_variants
+    from ..cli import VERSION_STR
+    from ..config import Config
+    from ..index.fmindex import build_index
+    from ..io.fastq import iter_chunks
+    from ..io.vcf import write_meta, write_variants
+    from ..pipeline.engine import MappingEngine
+    from ..pipeline.read import ReadState
+
+    cfg = Config(vcf_file=out_vcf, log_file=out_vcf + ".log")
+    idx = build_index(fasta)
+    engine = MappingEngine(idx, cfg, backend=None, use_native=False)
+    engine.enable_diff_profile = lambda: None  # pure-python plane mode
+
+    # per-host input shard: round-robin chunks by process id
+    for ci, chunk in enumerate(iter_chunks(reads, None)):
+        if ci % num_processes != process_id:
+            continue
+        engine.process_chunk_single(
+            [ReadState(r.header, r.seq, r.qual) for r in chunk])
+
+    p = engine.profile
+    L = idx.genome_size
+
+    # ---- ONE allreduce of the evidence planes over the global mesh ----
+    planes = np.concatenate([
+        p.acgt.reshape(-1), p.multi_hit, p.read_count,
+        p.F1, p.R2, p.F2, p.R1]).astype(np.int32)
+    stats = np.asarray([engine.stats.total_reads, engine.stats.total_mapped],
+                       dtype=np.int32)
+    local = np.concatenate([planes, stats])
+
+    devs = jax.devices()   # global device list across processes
+    mesh = Mesh(np.asarray(devs), ("hosts",))
+    n = len(devs)
+    local_dev = jax.device_put(jnp.asarray(local[None, :]),
+                               jax.local_devices()[0])
+    garr = jax.make_array_from_single_device_arrays(
+        (n, local.size), NamedSharding(mesh, P("hosts", None)), [local_dev])
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("hosts", None),
+                       out_specs=P(None))
+    def allreduce(x):
+        return jax.lax.psum(x[0], "hosts")
+
+    reduced_g = allreduce(garr)
+    reduced = np.asarray(
+        [s.data for s in reduced_g.addressable_shards][0]).reshape(-1)
+
+    # ---- events + discord sites: fixed-capacity all_gather --------------
+    ev = _encode_events(p, idx.seq_len)
+    ev_pad = np.full((EVENT_CAP, 2), -1, dtype=np.int32)
+    ev_pad[:ev.shape[0]] = ev
+    sites = np.full((SITE_CAP, 3), -1, dtype=np.int32)
+    rows = ([(g, d, 0) for g, d in engine.inv_sites]
+            + [(g, d, 1) for g, d in engine.tnl_sites])
+    if rows:
+        sites[:len(rows)] = np.asarray(rows, dtype=np.int32)
+    aux_local = np.concatenate([ev_pad.reshape(-1), sites.reshape(-1)])
+    aux_dev = jax.device_put(jnp.asarray(aux_local[None, :]),
+                             jax.local_devices()[0])
+    aux_g = jax.make_array_from_single_device_arrays(
+        (n, aux_local.size), NamedSharding(mesh, P("hosts", None)), [aux_dev])
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("hosts", None),
+                       out_specs=P(None, None), check_vma=False)
+    def allgather(x):
+        return jax.lax.all_gather(x[0], "hosts")   # [n_hosts, N], replicated
+
+    gathered_g = allgather(aux_g)
+    gathered = np.asarray(
+        [s.data for s in gathered_g.addressable_shards][0])
+    if gathered.ndim == 1:
+        gathered = gathered.reshape(n, -1)
+
+    if process_id != 0:
+        jax.distributed.shutdown()
+        return
+
+    # ---- host 0: merge + finalize + call --------------------------------
+    sizes = [4 * L, L, L, L, L, L, L]
+    off = 0
+    parts = []
+    for s in sizes:
+        parts.append(reduced[off:off + s])
+        off += s
+    p.acgt = np.minimum(parts[0].reshape(4, L), 4095).astype(np.int32)
+    p.multi_hit = np.minimum(parts[1], 4095).astype(np.int32)
+    p.read_count = np.minimum(parts[2], cfg.max_duplicate).astype(np.int32)
+    p.F1, p.R2, p.F2, p.R1 = (x.astype(np.int32) for x in parts[3:7])
+    total_reads, total_mapped = int(reduced[off]), int(reduced[off + 1])
+    p.break_point.clear()
+    p.insert_map.clear()
+    p.delete_map.clear()
+    engine.inv_sites.clear()
+    engine.tnl_sites.clear()
+    for h in range(gathered.shape[0]):
+        row = gathered[h]
+        _decode_events(row[:2 * EVENT_CAP], p)
+        srows = row[2 * EVENT_CAP:].reshape(SITE_CAP, 3)
+        for g, d, k in srows[srows[:, 0] >= 0].tolist():
+            (engine.inv_sites if k == 0 else engine.tnl_sites).append((g, d))
+    engine.stats.total_reads = total_reads
+    engine.stats.total_mapped = total_mapped
+    engine.finalize()
+
+    block_depth = cal_block_read_depth(p, L)
+    variants = identify_variants(cfg, engine.genome, p,
+                                 idx.ref.ref_sequence_codes(), block_depth)
+    with open(out_vcf, "w") as f:
+        write_meta(f, cfg, engine.genome, VERSION_STR, cmd_line)
+        write_variants(f, cfg, engine.genome, p, engine.ref_chars, variants)
+    jax.distributed.shutdown()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--num", type=int, required=True)
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--fasta", required=True)
+    ap.add_argument("--reads", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    run_host(args.pid, args.num, args.coordinator, args.fasta, args.reads,
+             args.out, "multihost-test")
+
+
+if __name__ == "__main__":
+    main()

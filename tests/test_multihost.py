@@ -1,0 +1,90 @@
+"""Multi-host rehearsal: 2 local processes, jax.distributed on the CPU
+backend, per-host input shards, ONE cross-host psum of the evidence
+planes — the merged VCF must be byte-identical to a 1-process run."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_fixtures(tmp_path):
+    sys.path.insert(0, REPO)
+    from mapcaller_tpu.dna import decode
+    rng = np.random.default_rng(11)
+    L = 6000
+    codes = rng.integers(0, 4, size=L).astype(np.uint8)
+    fa = tmp_path / "mh.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        s = decode(codes)
+        for i in range(0, L, 70):
+            f.write(s[i:i + 70] + "\n")
+    reads = []
+    RL = 70
+    for p in range(0, L - RL, 18):
+        c = codes[p:p + RL].copy()
+        reads.append(c)
+    # three SNP pileups + one deletion pileup (slow path + indel event)
+    for site in (1200, 2600, 4300):
+        alt = (int(codes[site]) + 1) % 4
+        for k in range(8):
+            p = site - 12 - 5 * k
+            c = codes[p:p + RL].copy()
+            c[site - p] = alt
+            reads.append(c)
+    for k in range(8):
+        p = 3500 - 20 - 3 * k
+        c = np.concatenate([codes[p:3500], codes[3502:3502 + RL]])[:RL]
+        reads.append(c)
+    fq = tmp_path / "mh.fq"
+    with open(fq, "w") as f:
+        for i, c in enumerate(reads):
+            f.write(f"@m{i}\n{decode(c)}\n+\n{'I' * len(c)}\n")
+    return str(fa), str(fq)
+
+
+def _launch(n, fasta, reads, out, port):
+    procs = []
+    for pid in range(n):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.pop("JAX_NUM_PROCESSES", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mapcaller_tpu.parallel.multihost",
+             "--pid", str(pid), "--num", str(n),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--fasta", fasta, "--reads", reads, "--out", out],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+
+def test_two_process_collective_vcf_matches_single(tmp_path):
+    fasta, reads = _write_fixtures(tmp_path)
+    single = str(tmp_path / "single.vcf")
+    merged = str(tmp_path / "merged.vcf")
+    _launch(1, fasta, reads, single, _free_port())
+    _launch(2, fasta, reads, merged, _free_port())
+    with open(single, "rb") as f1, open(merged, "rb") as f2:
+        a, b = f1.read(), f2.read()
+    assert a == b and len(a) > 200
+    body = [l for l in a.decode().splitlines() if not l.startswith("#")]
+    types = {l.split("TYPE=")[1].split("\t")[0].split(";")[0]
+             for l in body if "TYPE=" in l}
+    assert "snv" in types and "del" in types, types
