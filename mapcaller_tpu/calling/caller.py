@@ -111,14 +111,13 @@ def identify_variants(cfg: Config, genome: Genome, profile: Profile,
                       ) -> List[Variant]:
     """The genome scan (ref: VariantCalling.cpp:550-680).
 
-    Default modes run the fully vectorized scan (record emission is
-    sparse, so candidate discovery is pure array math and only actual
-    records go through Python). gVCF/monomorphic modes keep the scalar
-    mirror because every covered position can emit a record there and
-    the NOR-block logic carries per-position state."""
+    All modes run vectorized scans; the scalar mirror stays as the
+    property-test oracle. The gVCF NOR-block chain state (a block merges
+    until ANY other record is appended) vectorizes as an RLE keyed by
+    the cumulative count of record-emitting positions."""
     if cfg.gvcf or cfg.monomorphic:
-        return _identify_variants_scalar(cfg, genome, profile, ref_codes,
-                                         block_depth)
+        return _identify_variants_gvcf_vec(cfg, genome, profile, ref_codes,
+                                           block_depth)
     return _identify_variants_vec(cfg, genome, profile, ref_codes,
                                   block_depth)
 
@@ -244,6 +243,172 @@ def _identify_variants_vec(cfg: Config, genome: Genome, profile: Profile,
         out.append(Variant(s, VAR_UMR, DP=ln & 0xFFFF))
     for s, ln in zip(starts[dup_m].tolist(), run_lens[dup_m].tolist()):
         out.append(Variant(s, VAR_CNV, DP=ln & 0xFFFF))
+
+    out.sort(key=lambda v: (v.gPos, v.VarType))
+    return out
+
+
+def _identify_variants_gvcf_vec(cfg: Config, genome: Genome,
+                                profile: Profile, ref_codes: np.ndarray,
+                                block_depth: np.ndarray) -> List[Variant]:
+    """Vectorized gVCF/monomorphic scan, bit-equivalent to the scalar
+    mirror (property-tested). SUB/INS/DEL/UMR/CNV discovery matches
+    _identify_variants_vec; the per-position state the scalar loop
+    carries vectorizes as:
+
+      normal[p]   = cov > 0 and no INS/DEL/SUB record emitted at p
+      brk[p]      = any record appended while scanning position p
+                    (INS/DEL/SUB at p, or a gap/dup run flushed at p)
+      NOR blocks  = maximal groups of normal positions sharing
+                    cumsum(brk)[p] — a block merges across non-normal,
+                    non-emitting positions exactly like the scalar
+                    out[-1].VarType == NOR chain (cpp:652-669)
+    """
+    out: List[Variant] = []
+    L = genome.genome_size
+    acgt = profile.acgt
+    cov = acgt.sum(axis=0, dtype=np.int32)
+    multi = profile.multi_hit
+    freq_base = 0.01 if cfg.somatic else cfg.frequency_thr
+    ad = np.int32(cfg.min_allele_depth)
+    brk = np.zeros(L + 1, dtype=bool)
+    emitted_at = np.zeros(L, dtype=bool)   # INS/DEL/SUB at p => not normal
+
+    # --- SUB records (identical math to _identify_variants_vec) ---------
+    bd32 = block_depth.astype(np.int32)
+    if cfg.somatic:
+        cov_thr = np.full(L, ad, dtype=np.int32)
+    else:
+        cov_thr = np.maximum(np.repeat(bd32 >> 1, BLOCK_SIZE)[:L], ad)
+    rc = ref_codes[:L]
+    cand = np.nonzero(cov >= cov_thr)[0]
+    acgt_k = acgt[:, cand]
+    cov_k = cov[cand]
+    rc_k = rc[cand].astype(np.int32)
+    freq_thr = np.maximum(
+        np.ceil(cov_k.astype(np.float64) * freq_base).astype(np.int32), ad)
+    qual = np.empty((4, cand.size), dtype=bool)
+    for c in range(4):
+        qual[c] = (acgt_k[c] >= freq_thr) & (rc_k != c)
+    n_alt = qual.sum(axis=0, dtype=np.int32)
+    first = np.argmax(qual, axis=0).astype(np.int32)
+    qual2 = qual.copy()
+    np.put_along_axis(qual2, first[None, :], False, axis=0)
+    second = np.argmax(qual2, axis=0).astype(np.int32)
+    cnt1 = np.take_along_axis(acgt_k, first[None, :], axis=0)[0]
+    cnt2 = np.take_along_axis(acgt_k, second[None, :], axis=0)[0]
+    is1 = n_alt == 1
+    is2 = (n_alt == 2) & ((cnt1 + cnt2) >= (cov_k // 2))
+    sub_k = np.nonzero(is1 | is2)[0]
+    for ki in sub_k.tolist():
+        g = int(cand[ki])
+        cv = int(cov_k[ki])
+        if is1[ki]:
+            alt_cnt = int(cnt1[ki])
+            alt_str = "ACGT"[first[ki]]
+            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 1)
+        else:
+            alt_cnt = int(cnt1[ki] + cnt2[ki])
+            alt_str = f"{'ACGT'[first[ki]]},{'ACGT'[second[ki]]}"
+            gt = determine_genotype(cfg.ploidy, cv, alt_cnt, 2)
+        if gt == 0:
+            continue
+        rb = int(rc_k[ki])
+        v = Variant(g, VAR_SUB, DP=cv, AD_alt=alt_cnt,
+                    AD_ref=int(acgt_k[min(rb, 3), ki]) if rb < 4 else 0,
+                    GenoType=gt, ALTstr=alt_str)
+        v.qscore = (int(35.0 * alt_cnt / (cv * 0.05)) if cfg.somatic
+                    else int(35.0 * alt_cnt / cv)) & 0xFF
+        out.append(v)
+        brk[g] = True
+        emitted_at[g] = True
+
+    # --- INS/DEL records (identical to the vec path + chain flags) ------
+    for var_type, ind_map, ratio in ((VAR_INS, profile.insert_map, 0.25),
+                                     (VAR_DEL, profile.delete_map, 0.35)):
+        keys = sorted(ind_map.keys())
+        for g in keys:
+            if not (0 <= g < L):
+                continue
+            freq, ind_str = get_area_ind_frequency(g, ind_map, keys)
+            c_thr = int(block_depth[g // BLOCK_SIZE]) >> 1
+            if c_thr < cfg.min_allele_depth:
+                c_thr = cfg.min_allele_depth
+            if cfg.somatic and c_thr > cfg.min_allele_depth:
+                c_thr = cfg.min_allele_depth
+            thr = int(c_thr * ratio)
+            if thr < cfg.min_allele_depth:
+                thr = cfg.min_allele_depth
+            if freq < thr:
+                continue
+            v = Variant(g, var_type)
+            v.DP = int(block_depth[g // BLOCK_SIZE])
+            v.AD_alt = freq
+            if v.DP < v.AD_alt:
+                v.DP = v.AD_alt
+            v.ALTstr = ind_str
+            v.AD_ref = v.DP - v.AD_alt
+            v.GenoType = determine_genotype(cfg.ploidy, v.DP, v.AD_alt, 1)
+            cv = int(cov[g])
+            v.qscore = (int(100.0 * v.AD_alt / cv) & 0xFF) if cv > 0 else 0
+            out.append(v)
+            brk[g] = True
+            emitted_at[g] = True
+
+    # --- UMR / CNV runs; flushes append records AT the run-end position -
+    state = np.where(cov > 0, 2, np.where(multi > 0, 1, 0)).astype(np.int8)
+    changes = np.nonzero(np.diff(state))[0] + 1
+    starts = np.concatenate([[0], changes])
+    ends = np.concatenate([changes, [L]])
+    run_vals = state[starts]
+    run_lens = ends - starts
+    flushed = ends < L
+    gap_m = flushed & (run_vals == 0) & (run_lens >= cfg.min_unmapped_size)
+    dup_m = flushed & (run_vals == 1) & (run_lens > cfg.min_cnv_size)
+    for s, ln, e in zip(starts[gap_m].tolist(), run_lens[gap_m].tolist(),
+                        ends[gap_m].tolist()):
+        out.append(Variant(s, VAR_UMR, DP=ln & 0xFFFF))
+        brk[e] = True
+    for s, ln, e in zip(starts[dup_m].tolist(), run_lens[dup_m].tolist(),
+                        ends[dup_m].tolist()):
+        out.append(Variant(s, VAR_CNV, DP=ln & 0xFFFF))
+        brk[e] = True
+
+    normal = (cov > 0) & ~emitted_at
+
+    if cfg.gvcf:
+        keyv = np.cumsum(brk[:L])
+        if cfg.monomorphic:
+            # a MON record follows every NOR at the same position, so
+            # every NOR block is a single position
+            npos = np.nonzero(normal)[0]
+            for p in npos.tolist():
+                cv = int(cov[p])
+                out.append(Variant(p, VAR_NOR, DP=cv, AD_alt=cv))
+        else:
+            npos = np.nonzero(normal)[0]
+            if npos.size:
+                kn = keyv[npos]
+                newblk = np.concatenate([[True], np.diff(kn) != 0])
+                bstarts = np.nonzero(newblk)[0]
+                mins = np.minimum.reduceat(cov[npos], bstarts)
+                for bi, s in enumerate(bstarts.tolist()):
+                    p = int(npos[s])
+                    out.append(Variant(p, VAR_NOR, DP=int(cov[p]),
+                                       AD_alt=int(mins[bi])))
+    if cfg.monomorphic:
+        npos = np.nonzero(normal)[0]
+        gts = {}
+        for p in npos.tolist():
+            cv = int(cov[p])
+            gt = gts.get(cv)
+            if gt is None:
+                gt = determine_genotype(cfg.ploidy, cv, 0, 0)
+                gts[cv] = gt
+            rb = int(ref_codes[p])
+            v = Variant(p, VAR_MON, DP=cv, GenoType=gt,
+                        AD_ref=int(acgt[rb, p]) if rb < 4 else 0)
+            out.append(v)
 
     out.sort(key=lambda v: (v.gPos, v.VarType))
     return out

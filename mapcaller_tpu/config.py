@@ -59,6 +59,7 @@ class Config:
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
     device_chain: bool = True                   # device chaining/classification
     stream_pipeline_depth: int = 2              # device batches in flight
+    device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
     max_read_len: int = 256                     # padded read length bucket
 
     # fixed algorithm constants (ref: structure.h:20-25, bwt_search.cpp:3-6)

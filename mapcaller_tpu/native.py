@@ -70,6 +70,17 @@ def load_lib():
         lib.mc_process_batch_cls.argtypes = [
             C.c_void_p, C.c_int32, C.c_int32, C.c_int32] + [C.c_void_p] * 11
         lib.mc_set_ops_mode.argtypes = [C.c_void_p, C.c_int32]
+        lib.mc_prepare_batch_cls.restype = C.c_int64
+        lib.mc_prepare_batch_cls.argtypes = [
+            C.c_void_p, C.c_int32, C.c_int32, C.c_int32] + [C.c_void_p] * 9
+        lib.mc_dp_sizes.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+        lib.mc_dp_fetch.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p]
+        lib.mc_dp_put.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p,
+                                  C.c_void_p]
+        lib.mc_dp_put_ops.argtypes = [C.c_void_p, C.c_void_p, C.c_int32,
+                                      C.c_int32]
+        lib.mc_finish_batch_cls.argtypes = [C.c_void_p, C.c_void_p,
+                                            C.c_void_p]
         lib.mc_fast_bits.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
         lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
@@ -234,6 +245,56 @@ class NativeEngine:
             _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
             _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)),
             _ptr(stats_io), _ptr(sizes))
+        return self._fetch(sizes)
+
+    def process_batch_cls_devdp(self, slot: int, pair_end: bool,
+                                fastq: bool, cls, pd, mm, rplast, cscore,
+                                seed_counts, seed_rpos, seed_gpos, seed_len,
+                                stats_io, use_nw: bool, dp_max: int = 160):
+        """Two-phase classified batch with the gapped-extension DP batch
+        running on device (Pallas NW/ksw2 kernels, bit-identical to the
+        scalar aligners; oversize pairs fall back to scalar)."""
+        n_dp = self.lib.mc_prepare_batch_cls(
+            self.ctx, slot, int(pair_end), int(fastq),
+            _ptr(np.ascontiguousarray(cls, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(pd, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(mm, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(rplast, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(cscore, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_counts, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)))
+        if n_dp > 0:
+            qlens = np.zeros(n_dp, dtype=np.int32)
+            tlens = np.zeros(n_dp, dtype=np.int32)
+            self.lib.mc_dp_sizes(self.ctx, _ptr(qlens), _ptr(tlens))
+            qbuf = C.create_string_buffer(int(qlens.sum()) + 1)
+            tbuf = C.create_string_buffer(int(tlens.sum()) + 1)
+            self.lib.mc_dp_fetch(self.ctx, qbuf, tbuf)
+            pairs = []
+            qo = to = 0
+            for i in range(n_dp):
+                pairs.append((qbuf.raw[qo:qo + qlens[i]].decode(),
+                              tbuf.raw[to:to + tlens[i]].decode()))
+                qo += qlens[i]
+                to += tlens[i]
+            MN = dp_max + 32
+            if use_nw:
+                from .ops.nw_device import nw_align_batch
+                words, _scores = nw_align_batch(pairs, M=MN, N=MN,
+                                                return_ops=True)
+                mode = 0
+            else:
+                from .ops.ksw2_device import ksw2_align_batch
+                words = ksw2_align_batch(pairs, M=MN, N=MN, return_ops=True)
+                mode = 1
+            words = np.ascontiguousarray(words, dtype=np.uint32)
+            self.lib.mc_dp_put_ops(self.ctx, _ptr(words),
+                                   C.c_int32(words.shape[1]),
+                                   C.c_int32(mode))
+        sizes = np.zeros(8, dtype=np.int64)
+        self.lib.mc_finish_batch_cls(self.ctx, _ptr(stats_io), _ptr(sizes))
         return self._fetch(sizes)
 
     def set_ops_mode(self, on: bool) -> None:

@@ -50,9 +50,19 @@ class DeviceFMIndex:
         return cls(*children, *aux)
 
     @classmethod
-    def from_host(cls, idx: FMIndex) -> "DeviceFMIndex":
+    def from_host(cls, idx: FMIndex,
+                  sa_budget_bytes: int = 2 << 30) -> "DeviceFMIndex":
+        """sa_budget_bytes: keep the full SA in HBM (one gather per hit)
+        only below this size; above it the sampled-SA inverse-Psi walk
+        (sa_resolve fallback) is the default — human-scale fwd+rc texts
+        would need ~25 GB of HBM for the full SA."""
         if idx.seq_len >= 2**31:
-            raise NotImplementedError("int64 / sharded index path: genome > 1Gbp")
+            # host index build supports int64 (mc_build_suffix_array64);
+            # the DEVICE rows stay int32 — >1 Gbp genomes take the
+            # genome-sharded mesh path (parallel/), not a single chip
+            raise NotImplementedError(
+                "single-chip device index is int32 (text < 2^31); "
+                "shard the genome over the mesh for larger references")
         n = idx.seq_len
         nw = (n + 15) // 16
         rows = np.zeros((nw + 1, 8), dtype=np.int64)
@@ -71,7 +81,9 @@ class DeviceFMIndex:
         rows[:nw, 4] = words.astype(np.int64)
         assert rows[:, :4].max() < 2**31
         rows32 = rows.astype(np.int32)
-        sa_full = (idx.sa_full if idx.sa_full is not None
+        keep_full_sa = (idx.sa_full is not None
+                        and idx.sa_full.nbytes <= sa_budget_bytes)
+        sa_full = (idx.sa_full if keep_full_sa
                    else np.zeros(0, dtype=np.int32))
         return cls(
             occ_rows=jnp.asarray(rows32),

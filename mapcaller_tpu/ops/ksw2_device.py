@@ -176,10 +176,64 @@ def _backtrack_abs(p: np.ndarray, qlen: int, tlen: int) -> str:
     return "".join(cigar)
 
 
+@functools.lru_cache(maxsize=None)
+def build_ksw2_traceback(M: int, N: int):
+    """On-device ksw_backtrack (ref: cpp:25-68): walks the flag planes
+    per lane and returns 2-bit ops (0=M,1=D,2=I,3=pad) packed 16/int32 —
+    the [B, M+N-1, NC] flag tensor never leaves the device."""
+    NC = ((N + 15) // 16 + 1) * 16
+    ND = M + N - 1
+    STEPS = ((M + N) + 15) // 16 * 16
+
+    def tb(p, qlen, tlen):
+        B = p.shape[0]
+        flat = p.reshape(B, -1).astype(jnp.int32)
+        w = jnp.maximum(qlen, tlen)
+
+        def body(carry, _):
+            i, j, state = carry
+            in_main = (i >= 0) & (j >= 0)
+            active = (i >= 0) | (j >= 0)
+            r = i + j
+            st = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+            en = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+            st_a = st // 16 * 16
+            en_a = (en + 16) // 16 * 16 - 1
+            force = jnp.where(i < st_a, 2, jnp.where(i > en_a, 1, -1))
+            idx = jnp.clip(r * NC + i, 0, ND * NC - 1)
+            tmp = jnp.where(force < 0,
+                            jnp.take_along_axis(flat, idx[:, None],
+                                                axis=1)[:, 0], 0)
+            s = jnp.where(state == 0, tmp & 7,
+                          jnp.where(((tmp >> (state + 2)) & 1) == 0, 0,
+                                    state))
+            s = jnp.where(s == 0, tmp & 7, s)
+            s = jnp.where(force >= 0, force, s)
+            # outside the main rectangle: drain remaining D's / I's
+            s = jnp.where(in_main, s, jnp.where(i >= 0, 1, 2))
+            op = jnp.where(~active, 3,
+                           jnp.where(s == 0, 0,
+                                     jnp.where((s == 1) | (s == 3), 1, 2)))
+            ni = jnp.where(active & ((op == 0) | (op == 1)), i - 1, i)
+            nj = jnp.where(active & ((op == 0) | (op == 2)), j - 1, j)
+            ns = jnp.where(in_main, s, state)
+            return (ni, nj, ns), op
+
+        init = (tlen - 1, qlen - 1, jnp.zeros_like(qlen))
+        _, ops = jax.lax.scan(body, init, None, length=STEPS)
+        ops = ops.T.astype(jnp.uint32)
+        ops_p = ops.reshape(B, STEPS // 16, 16)
+        sh = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+        return (ops_p << sh).sum(axis=2, dtype=jnp.uint32)
+
+    return jax.jit(tb)
+
+
 def ksw2_align_batch(pairs: List[Tuple[str, str]], M: int = 192,
-                     N: int = 192) -> List[Tuple[str, str]]:
+                     N: int = 192, return_ops: bool = False):
     """Align (s1=query, s2=target) pairs on device; '-'-padded strings
-    bit-identical to ops/ksw2_host.ksw2_alignment."""
+    bit-identical to ops/ksw2_host.ksw2_alignment. DP fill AND backtrack
+    run on device; only packed 2-bit ops come back."""
     from ..dna import NT4_TABLE
     NC = ((N + 15) // 16 + 1) * 16
     B = len(pairs)
@@ -195,11 +249,28 @@ def ksw2_align_batch(pairs: List[Tuple[str, str]], M: int = 192,
         tgt[k, :len(s2)] = t
         ql[k], tl[k] = len(s1), len(s2)
     kern = build_ksw2_kernel(M, N)
-    p = np.asarray(kern(jnp.asarray(qbuf), jnp.asarray(tgt),
-                        jnp.asarray(ql), jnp.asarray(tl)))
+    p = kern(jnp.asarray(qbuf), jnp.asarray(tgt),
+             jnp.asarray(ql), jnp.asarray(tl))
+    words = np.asarray(build_ksw2_traceback(M, N)(
+        p, jnp.asarray(ql), jnp.asarray(tl)))
+    if return_ops:
+        return words
     out = []
     for k, (s1, s2) in enumerate(pairs):
-        cigar = _backtrack_abs(p[k], len(s1), len(s2))
+        i, j = len(s2) - 1, len(s1) - 1
+        cigar = []
+        kk = 0
+        while i >= 0 or j >= 0:
+            d = (int(words[k, kk >> 4]) >> ((kk & 15) * 2)) & 3
+            cigar.append("MDI"[d])
+            if d == 0:
+                i -= 1
+                j -= 1
+            elif d == 1:
+                i -= 1
+            else:
+                j -= 1
+            kk += 1
         a1 = list(s1)
         a2 = list(s2)
         pos = 0

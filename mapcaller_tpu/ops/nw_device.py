@@ -183,10 +183,68 @@ def traceback_strings(s1: str, s2: str, dirs: np.ndarray) -> Tuple[str, str]:
     return "".join(a1), "".join(a2)
 
 
+@functools.lru_cache(maxsize=None)
+def build_nw_traceback(M: int, N: int):
+    """On-device traceback: walks the direction matrix per lane and
+    returns 2-bit ops packed 16/int32 — ~1500x less device->host
+    transfer than downloading the [B, M+1, N+1] direction matrix
+    (which made the first wiring of these kernels tunnel-bound)."""
+    ND = M + N
+
+    def tb(dirs, m, n):
+        B = dirs.shape[0]
+        flat = dirs.reshape(B, -1)
+
+        def body(carry, _):
+            i, j = carry
+            done = (i <= 0) & (j <= 0)
+            d = jnp.take_along_axis(flat, (i * (N + 1) + j)[:, None],
+                                    axis=1)[:, 0]
+            d = jnp.where(done, 3, d)
+            ni = jnp.where(done | (d == 1), i, i - 1)
+            nj = jnp.where(done | (d == 2), j, j - 1)
+            return (ni, nj), d
+
+        _, ops = jax.lax.scan(body, (m, n), None, length=ND)
+        ops = ops.T.astype(jnp.uint32)                      # [B, ND]
+        ops_p = ops.reshape(B, ND // 16, 16)
+        sh = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+        return (ops_p << sh).sum(axis=2, dtype=jnp.uint32)  # [B, ND/16]
+
+    return jax.jit(tb)
+
+
+def _replay_ops(s1: str, s2: str, words: np.ndarray):
+    """Host reconstruction of the '-'-padded strings from packed ops."""
+    a1 = list(s1)
+    a2 = list(s2)
+    i, j = len(s1), len(s2)
+    k = 0
+    while i > 0 or j > 0:
+        d = (int(words[k >> 4]) >> ((k & 15) * 2)) & 3
+        if d == 1:
+            a1.insert(i, "-")
+            j -= 1
+        elif d == 2:
+            a2.insert(j, "-")
+            i -= 1
+        else:
+            i -= 1
+            j -= 1
+        k += 1
+    return "".join(a1), "".join(a2)
+
+
 def nw_align_batch(pairs: List[Tuple[str, str]], M: int = 192, N: int = 192,
-                   tile: int = 64, interpret: bool = False):
+                   tile: int = 64, interpret: bool = None,
+                   return_ops: bool = False):
     """Convenience wrapper: align a list of (s1, s2) pairs on device and
-    return '-'-padded strings, bit-identical to ops/nw_host.nw_alignment."""
+    return '-'-padded strings, bit-identical to ops/nw_host.nw_alignment.
+    interpret=None auto-selects pallas interpret mode off-TPU.
+    Traceback runs on device; only packed 2-bit ops come back."""
+    if interpret is None:
+        import jax
+        interpret = jax.default_backend() != "tpu"
     from ..dna import NT4_TABLE
     B = ((len(pairs) + tile - 1) // tile) * tile
     c1 = np.full((B, M), 4, dtype=np.uint8)
@@ -202,8 +260,11 @@ def nw_align_batch(pairs: List[Tuple[str, str]], M: int = 192, N: int = 192,
     kern = build_nw_kernel(M, N, tile, interpret=interpret)
     dirs, score = kern(jnp.asarray(c1), jnp.asarray(c2),
                        jnp.asarray(m), jnp.asarray(n))
-    dirs = np.asarray(dirs)
+    words = np.asarray(build_nw_traceback(M, N)(dirs, jnp.asarray(m),
+                                                jnp.asarray(n)))
+    if return_ops:
+        return words[:len(pairs)], np.asarray(score)[:len(pairs), 0]
     out = []
     for k, (s1, s2) in enumerate(pairs):
-        out.append(traceback_strings(s1, s2, dirs[k]))
+        out.append(_replay_ops(s1, s2, words[k]))
     return out, np.asarray(score)[:len(pairs), 0]

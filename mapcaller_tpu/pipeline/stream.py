@@ -85,9 +85,14 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 (cls, pd, mm, rplast, cscore, counts, rp, gp,
                  ln) = be.collect_chain(
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
-                sam_text, st = native.process_batch_cls(
-                    pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
-                    counts, rp, gp, ln, stats_io)
+                if getattr(cfg, "device_extension", False):
+                    sam_text, st = native.process_batch_cls_devdp(
+                        pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
+                        counts, rp, gp, ln, stats_io, cfg.use_nw)
+                else:
+                    sam_text, st = native.process_batch_cls(
+                        pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
+                        counts, rp, gp, ln, stats_io)
                 if engine.device_evidence is not None:
                     fbits = native.fetch_fast_bits()
                     engine.device_evidence.apply_batch(ptoken, fbits,

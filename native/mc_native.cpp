@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstring>
 #include <ctime>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -75,6 +76,11 @@ struct Ctx {
   // semantics (pipeline/device_profile.py)
   bool ops_mode = false;   // fast-read evidence applied on device
   std::vector<uint32_t> fast_bits;
+  // device gapped extension: DP-pair strings collected by a dry pass,
+  // aligned in one Pallas batch, consumed via this cache (bit-identical
+  // to the scalar aligners, so cache hits change nothing but speed)
+  std::map<std::string, std::pair<std::string, std::string>> dp_cache;
+  std::vector<std::pair<std::string, std::string>> dp_pending;
   // diff mode: every exactly-matching base credits the REFERENCE base's
   // plane (an exact seed's read base equals the forward-strand ref base
   // at that position, on either strand), so matched runs become +1/-1
@@ -615,8 +621,9 @@ static void revcomp_inplace(string& s) {
   if (i == j) s[i] = COMP[(unsigned char)s[i]];
 }
 
-static void process_normal_pair(const Ctx& c, const char* seq, FragPair& fp,
-                                bool use_nw) {
+// builds the '-'-free pair strings for a normal pair and decides
+// whether the gapped DP runs (ref: ReadAlignment.cpp:155-190)
+static bool build_pair_strings(const Ctx& c, const char* seq, FragPair& fp) {
   if (fp.rLen > 0) fp.aln1.assign(seq + fp.rPos, (size_t)fp.rLen);
   else fp.aln1.assign((size_t)fp.gLen, '-');
   if (fp.gLen > 0) fp.aln2.assign(c.ref + fp.gPos, (size_t)fp.gLen);
@@ -632,10 +639,29 @@ static void process_normal_pair(const Ctx& c, const char* seq, FragPair& fp,
       for (int i = 0; i < fp.rLen; i++) if (fp.aln1[i] != fp.aln2[i]) mis++;
       run = mis > 1 && mis >= (int)(fp.rLen * 0.2);
     }
-    if (run) {
-      if (use_nw) nw_align(fp.aln1, fp.aln2);
-      else ksw2_align(fp.aln1, fp.aln2);
+    return run;
+  }
+  return false;
+}
+
+// device-extension batch cap: pairs at most this long go to the Pallas
+// NW/ksw2 kernels; longer pairs fall back to the scalar aligner
+static const int DP_DEV_MAX = 160;
+
+static void process_normal_pair(const Ctx& c, const char* seq, FragPair& fp,
+                                bool use_nw) {
+  bool run = build_pair_strings(c, seq, fp);
+  if (run) {
+    if (!c.dp_cache.empty()) {
+      auto it = c.dp_cache.find(fp.aln1 + '\x01' + fp.aln2);
+      if (it != c.dp_cache.end() && !it->second.first.empty()) {
+        fp.aln1 = it->second.first;
+        fp.aln2 = it->second.second;
+        return;
+      }
     }
+    if (use_nw) nw_align(fp.aln1, fp.aln2);
+    else ksw2_align(fp.aln1, fp.aln2);
   }
 }
 
@@ -703,6 +729,100 @@ static void remove_tailing_gaps(bool first, FragPair& fp) {
   }
 }
 
+// shared pre-DP derivation: sort by rPos, trim overlaps, insert normal
+// pairs incl. head/tail extensions (ref: ReadAlignment.cpp:38-153)
+static void prepare_frags(const Ctx& c, i32 rlen, vector<FragPair>& frags) {
+  std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
+    if (a.rPos == b.rPos) return a.gPos < b.gPos;
+    return a.rPos < b.rPos;
+  });
+  bool overlap = false;
+  for (size_t i = 0; i + 1 < frags.size(); i++) {
+    FragPair& a = frags[i];
+    FragPair& b = frags[i + 1];
+    if (a.rPos == b.rPos) { overlap = true; a.rLen = a.gLen = 0; }
+    else if (a.gPos >= b.gPos || a.gPos + a.gLen > b.gPos) {
+      overlap = true;
+      i64 ov = a.gPos + a.gLen - b.gPos;
+      a.rLen -= (i32)ov; if (a.rLen < 0) a.rLen = 0;
+      a.gLen -= (i32)ov; if (a.gLen < 0) a.gLen = 0;
+    }
+  }
+  if (overlap) {
+    vector<FragPair> kept;
+    for (auto& f : frags) if (f.rLen != 0) kept.push_back(std::move(f));
+    frags = std::move(kept);
+  }
+  size_t num = frags.size();
+  vector<FragPair> ins;
+  for (size_t i = 0; i + 1 < num; i++) {
+    i32 rg = frags[i + 1].rPos - (frags[i].rPos + frags[i].rLen);
+    if (rg < 0) rg = 0;
+    i64 gg = frags[i + 1].gPos - (frags[i].gPos + frags[i].gLen);
+    if (gg < 0) gg = 0;
+    if (rg > 0 || gg > 0) {
+      FragPair fp;
+      fp.simple = false;
+      fp.rPos = frags[i].rPos + frags[i].rLen;
+      fp.gPos = frags[i].gPos + frags[i].gLen;
+      fp.rLen = rg; fp.gLen = (i32)gg;
+      fp.PosDiff = fp.gPos - fp.rPos;
+      ins.push_back(std::move(fp));
+    }
+  }
+  if (!ins.empty()) {
+    for (auto& f : ins) frags.push_back(std::move(f));
+    std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
+      if (a.rPos == b.rPos) return a.gPos < b.gPos;
+      return a.rPos < b.rPos;
+    });
+  }
+  if (frags[0].rPos > 0) {
+    FragPair fp;
+    fp.simple = false;
+    fp.rPos = 0;
+    fp.gPos = fp.PosDiff = frags[0].PosDiff;
+    fp.rLen = fp.gLen = frags[0].rPos;
+    frags.insert(frags.begin(), std::move(fp));
+  }
+  FragPair& last = frags.back();
+  if (last.rPos + last.rLen < rlen) {
+    FragPair fp;
+    fp.simple = false;
+    fp.rPos = last.rPos + last.rLen;
+    fp.gPos = last.gPos + last.gLen;
+    fp.PosDiff = last.PosDiff;
+    fp.rLen = fp.gLen = rlen - fp.rPos;
+    frags.push_back(std::move(fp));
+  }
+}
+
+// dry pass for the device gapped-extension batch: derive each slow
+// candidate's normal pairs on a COPY and collect the DP-triggering
+// pair strings (deterministic => identical to what process_normal_pair
+// will ask for)
+static void collect_dp_pairs(Ctx& c, const Read& read) {
+  for (auto& can0 : read.cans) {
+    if (can0.score == 0 || can0.fast) continue;
+    vector<FragPair> frags = can0.frags;
+    prepare_frags(c, read.rlen, frags);
+    if (!check_alignment_validity(c, frags[0].gPos,
+                                  frags.back().gPos + frags.back().gLen))
+      continue;
+    for (auto& fp : frags) {
+      if (fp.simple) continue;
+      FragPair tmp = fp;
+      bool run = build_pair_strings(c, read.seq, tmp);
+      if (run && tmp.rLen <= DP_DEV_MAX && tmp.gLen <= DP_DEV_MAX) {
+        std::string key = tmp.aln1 + '\x01' + tmp.aln2;
+        if (c.dp_cache.emplace(key, std::pair<std::string, std::string>()
+                               ).second)
+          c.dp_pending.emplace_back(tmp.aln1, tmp.aln2);
+      }
+    }
+  }
+}
+
 static bool produce_read_alignment(const Ctx& c, Read& read) {
   int max_mm_thr = (int)(read.rlen * c.max_mismatch_rate);
   for (size_t ci = 0; ci < read.cans.size(); ci++) {
@@ -725,73 +845,7 @@ static bool produce_read_alignment(const Ctx& c, Read& read) {
       continue;
     }
     auto& frags = can.frags;
-    std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
-      if (a.rPos == b.rPos) return a.gPos < b.gPos;
-      return a.rPos < b.rPos;
-    });
-    // remove overlaps (ref: ReadAlignment.cpp:38-65)
-    bool overlap = false;
-    for (size_t i = 0; i + 1 < frags.size(); i++) {
-      FragPair& a = frags[i];
-      FragPair& b = frags[i + 1];
-      if (a.rPos == b.rPos) { overlap = true; a.rLen = a.gLen = 0; }
-      else if (a.gPos >= b.gPos || a.gPos + a.gLen > b.gPos) {
-        overlap = true;
-        i64 ov = a.gPos + a.gLen - b.gPos;
-        a.rLen -= (i32)ov; if (a.rLen < 0) a.rLen = 0;
-        a.gLen -= (i32)ov; if (a.gLen < 0) a.gLen = 0;
-      }
-    }
-    if (overlap) {
-      vector<FragPair> kept;
-      for (auto& f : frags) if (f.rLen != 0) kept.push_back(std::move(f));
-      frags = std::move(kept);
-    }
-    // identify normal pairs (ref: ReadAlignment.cpp:67-108)
-    {
-      size_t num = frags.size();
-      vector<FragPair> ins;
-      for (size_t i = 0; i + 1 < num; i++) {
-        i32 rg = frags[i + 1].rPos - (frags[i].rPos + frags[i].rLen);
-        if (rg < 0) rg = 0;
-        i64 gg = frags[i + 1].gPos - (frags[i].gPos + frags[i].gLen);
-        if (gg < 0) gg = 0;
-        if (rg > 0 || gg > 0) {
-          FragPair fp;
-          fp.simple = false;
-          fp.rPos = frags[i].rPos + frags[i].rLen;
-          fp.gPos = frags[i].gPos + frags[i].gLen;
-          fp.rLen = rg; fp.gLen = (i32)gg;
-          fp.PosDiff = fp.gPos - fp.rPos;
-          ins.push_back(std::move(fp));
-        }
-      }
-      if (!ins.empty()) {
-        for (auto& f : ins) frags.push_back(std::move(f));
-        std::stable_sort(frags.begin(), frags.end(), [](const FragPair& a, const FragPair& b) {
-          if (a.rPos == b.rPos) return a.gPos < b.gPos;
-          return a.rPos < b.rPos;
-        });
-      }
-      if (frags[0].rPos > 0) {
-        FragPair fp;
-        fp.simple = false;
-        fp.rPos = 0;
-        fp.gPos = fp.PosDiff = frags[0].PosDiff;
-        fp.rLen = fp.gLen = frags[0].rPos;
-        frags.insert(frags.begin(), std::move(fp));
-      }
-      FragPair& last = frags.back();
-      if (last.rPos + last.rLen < read.rlen) {
-        FragPair fp;
-        fp.simple = false;
-        fp.rPos = last.rPos + last.rLen;
-        fp.gPos = last.gPos + last.gLen;
-        fp.PosDiff = last.PosDiff;
-        fp.rLen = fp.gLen = read.rlen - fp.rPos;
-        frags.push_back(std::move(fp));
-      }
-    }
+    prepare_frags(c, read.rlen, frags);
     if (!check_alignment_validity(c, frags[0].gPos,
                                   frags.back().gPos + frags.back().gLen)) {
       can.score = 0;
@@ -1904,6 +1958,169 @@ void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
   out_sizes[7] = (i64)o.tnl_sites.size();
 }
 
+// ---- two-phase classified batch: device gapped-extension support ----
+// phase 1 builds the reads + collects DP-triggering normal pairs (dry
+// pass); Python aligns them in one Pallas batch (ops/nw_device.py /
+// ops/ksw2_device.py, bit-identical to the scalar aligners); phase 2
+// runs the pipeline, which consumes the cache in process_normal_pair.
+struct PreparedCls {
+  vector<Read> reads;
+  i32 slot = 0;
+  bool paired = false;
+  bool fastq = true;
+};
+static thread_local PreparedCls g_prep;
+
+i64 mc_prepare_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
+                         const i32* cls, const i32* pd, const i32* mm,
+                         const i32* rplast, const i32* cscore,
+                         const i32* seed_counts, const i32* seed_rpos,
+                         const i64* seed_gpos, const i32* seed_len) {
+  Ctx& c = *(Ctx*)ctx;
+  Batch& b = g_stream.slot[slot_idx & 3];
+  i32 n = b.n;
+  i64 t0 = now_ns();
+  g_prep.reads.assign((size_t)n, Read());
+  g_prep.slot = slot_idx;
+  g_prep.paired = pair_end != 0;
+  g_prep.fastq = fastq != 0;
+  if (c.ops_mode) c.fast_bits.assign(((size_t)n + 31) / 32, 0u);
+  c.dp_cache.clear();
+  c.dp_pending.clear();
+  i64 soff = 0;
+  for (i32 i = 0; i < n; i++) {
+    Read& rd = g_prep.reads[i];
+    rd.seq = b.reads[i].seq.c_str();
+    rd.qual = b.reads[i].qual.c_str();
+    rd.header = b.reads[i].header.c_str();
+    rd.rlen = (i32)b.reads[i].seq.size();
+    if (cls[i] == 1)
+      build_read_fast(c, rd, pd[i], mm[i], rplast[i], cscore[i]);
+    else if (cls[i] == 2) {
+      build_read(c, rd, seed_rpos + soff, seed_gpos + soff, seed_len + soff,
+                 seed_counts[i]);
+      collect_dp_pairs(c, rd);
+    }
+    soff += seed_counts[i];
+  }
+  g_prof_ns[0] += now_ns() - t0;
+  g_prof_ns[7] += n;
+  return (i64)c.dp_pending.size();
+}
+
+void mc_dp_sizes(void* ctx, i32* qlens, i32* tlens) {
+  Ctx& c = *(Ctx*)ctx;
+  for (size_t i = 0; i < c.dp_pending.size(); i++) {
+    qlens[i] = (i32)c.dp_pending[i].first.size();
+    tlens[i] = (i32)c.dp_pending[i].second.size();
+  }
+}
+
+void mc_dp_fetch(void* ctx, char* qbuf, char* tbuf) {
+  Ctx& c = *(Ctx*)ctx;
+  for (auto& pr : c.dp_pending) {
+    memcpy(qbuf, pr.first.data(), pr.first.size());
+    qbuf += pr.first.size();
+    memcpy(tbuf, pr.second.data(), pr.second.size());
+    tbuf += pr.second.size();
+  }
+}
+
+// packed 2-bit traceback ops from the device kernels; mode 0 = NW
+// (ops walked from (m, n) back to the origin), mode 1 = ksw2
+// (cigar from (tlen-1, qlen-1), applied reversed from the front)
+void mc_dp_put_ops(void* ctx, const uint32_t* words, i32 wpp, i32 mode) {
+  Ctx& c = *(Ctx*)ctx;
+  for (size_t pi = 0; pi < c.dp_pending.size(); pi++) {
+    const std::string& s1 = c.dp_pending[pi].first;
+    const std::string& s2 = c.dp_pending[pi].second;
+    const uint32_t* w = words + pi * wpp;
+    std::string a1 = s1, a2 = s2;
+    if (mode == 0) {
+      i64 i = (i64)s1.size(), j = (i64)s2.size();
+      int k = 0;
+      while (i > 0 || j > 0) {
+        int d = (int)((w[k >> 4] >> ((k & 15) * 2)) & 3);
+        if (d == 1) { a1.insert((size_t)i, 1, '-'); j--; }
+        else if (d == 2) { a2.insert((size_t)j, 1, '-'); i--; }
+        else { i--; j--; }
+        k++;
+      }
+    } else {
+      i64 i = (i64)s2.size() - 1, j = (i64)s1.size() - 1;
+      std::vector<char> cig;
+      int k = 0;
+      while (i >= 0 || j >= 0) {
+        int d = (int)((w[k >> 4] >> ((k & 15) * 2)) & 3);
+        cig.push_back("MDI"[d]);
+        if (d == 0) { i--; j--; }
+        else if (d == 1) i--;
+        else j--;
+        k++;
+      }
+      size_t pos = 0;
+      for (auto it = cig.rbegin(); it != cig.rend(); ++it) {
+        if (*it == 'D') a1.insert(pos, 1, '-');
+        else if (*it == 'I') a2.insert(pos, 1, '-');
+        pos++;
+      }
+    }
+    c.dp_cache[s1 + '\x01' + s2] = {std::move(a1), std::move(a2)};
+  }
+}
+
+// aligned '-'-padded pairs, concatenated; alens[i] = padded length of
+// pair i (aln1 and aln2 have equal length)
+void mc_dp_put(void* ctx, const char* abuf, const char* bbuf,
+               const i32* alens) {
+  Ctx& c = *(Ctx*)ctx;
+  for (size_t i = 0; i < c.dp_pending.size(); i++) {
+    auto& pr = c.dp_pending[i];
+    std::string key = pr.first + '\x01' + pr.second;
+    i32 ln = alens[i];
+    c.dp_cache[key] = {std::string(abuf, (size_t)ln),
+                       std::string(bbuf, (size_t)ln)};
+    abuf += ln;
+    bbuf += ln;
+  }
+}
+
+void mc_finish_batch_cls(void* ctx, i64* stats_io, i64* out_sizes /*[8]*/) {
+  Ctx& c = *(Ctx*)ctx;
+  c.fastq = g_prep.fastq;
+  ChunkOut& o = g_out;
+  o = ChunkOut();
+  vector<Read>& reads = g_prep.reads;
+  i32 n = (i32)reads.size();
+  i64 t1 = now_ns();
+  const i32 CHUNK = 200;
+  for (i32 lo = 0; lo < n; lo += CHUNK) {
+    i32 hi = std::min(n, lo + CHUNK);
+    i64 pn0 = o.paired_num, ds0 = o.dist_sum;
+    i64 mn0 = o.mapped_num, rs0 = o.rlen_sum;
+    process_span(c, reads, lo, hi, g_prep.paired && (hi - lo) % 2 == 0,
+                 stats_io[5], o);
+    stats_io[0] += hi - lo;
+    stats_io[1] += o.mapped_num - mn0;
+    stats_io[2] += o.paired_num - pn0;
+    stats_io[3] += o.dist_sum - ds0;
+    stats_io[4] += o.rlen_sum - rs0;
+    if (stats_io[2] > 1000)
+      stats_io[5] = (i64)((double)stats_io[3] / stats_io[2] + 0.5);
+  }
+  g_prof_ns[5] += now_ns() - t1;
+  c.dp_cache.clear();
+  c.dp_pending.clear();
+  out_sizes[0] = o.mapped_num;
+  out_sizes[1] = o.paired_num;
+  out_sizes[2] = o.dist_sum;
+  out_sizes[3] = o.rlen_sum;
+  out_sizes[4] = (i64)o.sam.size();
+  out_sizes[5] = (i64)o.events.size();
+  out_sizes[6] = (i64)o.inv_sites.size();
+  out_sizes[7] = (i64)o.tnl_sites.size();
+}
+
 // enable diff mode: matched-base accumulation becomes +1/-1 endpoints
 // on exact_diff; F/multi counters become diff arrays (all i32[L+1]).
 void mc_set_diff_mode(void* ctx, i32* f1d, i32* r2d, i32* f2d, i32* r1d,
@@ -1952,56 +2169,59 @@ i64 mc_event_seq_total(void* ctx) {
 // (index/suffix.py keeps the NumPy prefix-doubling fallback as oracle).
 // int32 positions: texts up to 2^31-1 (fwd+rc of a ~1 Gbp genome).
 
-static void sais_core(const i32* T, i32* SA, i32 n, i32 K, i32* unused) {
+}  // extern "C" (template below must have C++ linkage)
+
+template <typename I>
+static void sais_core(const I* T, I* SA, I n, I K, I* unused) {
   (void)unused;
   if (n == 1) { SA[0] = 0; return; }
   vector<unsigned char> stype(n);
   stype[n - 1] = 1;  // sentinel is S
-  for (i32 i = n - 2; i >= 0; i--)
+  for (I i = n - 2; i >= 0; i--)
     stype[i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1])) ? 1 : 0;
-  auto is_lms = [&](i32 i) { return i > 0 && stype[i] && !stype[i - 1]; };
-  vector<i32> cnt(K, 0), bkt(K);
-  for (i32 i = 0; i < n; i++) cnt[T[i]]++;
+  auto is_lms = [&](I i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  vector<I> cnt(K, 0), bkt(K);
+  for (I i = 0; i < n; i++) cnt[T[i]]++;
 
   // 1) place LMS suffixes at bucket ends (arbitrary order), induce
   std::fill(SA, SA + n, -1);
   {
-    i32 acc = 0;
-    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
-    for (i32 i = n - 1; i >= 1; i--)
+    I acc = 0;
+    for (I c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (I i = n - 1; i >= 1; i--)
       if (is_lms(i)) SA[--bkt[T[i]]] = i;
   }
   {
     // induce with -1 guards
-    i32 acc = 0;
+    I acc = 0;
     bkt[0] = 0;
-    for (i32 c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
-    for (i32 i = 0; i < n; i++) {
-      i32 j = SA[i];
+    for (I c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
+    for (I i = 0; i < n; i++) {
+      I j = SA[i];
       if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
     }
     acc = 0;
-    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
-    for (i32 i = n - 1; i >= 0; i--) {
-      i32 j = SA[i];
+    for (I c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (I i = n - 1; i >= 0; i--) {
+      I j = SA[i];
       if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
     }
   }
 
   // 2) name sorted LMS substrings
-  i32 n1 = 0;
-  for (i32 i = 0; i < n; i++)
+  I n1 = 0;
+  for (I i = 0; i < n; i++)
     if (SA[i] > 0 && is_lms(SA[i])) SA[n1++] = SA[i];
-  i32* s1 = SA + n1;                 // reuse tail of SA for names
+  I* s1 = SA + n1;                 // reuse tail of SA for names
   std::fill(s1, SA + n, -1);
-  i32 name = 0;
-  i32 prev = -1;
-  for (i32 i = 0; i < n1; i++) {
-    i32 pos = SA[i];
+  I name = 0;
+  I prev = -1;
+  for (I i = 0; i < n1; i++) {
+    I pos = SA[i];
     bool diff = false;
     if (prev < 0) diff = true;
     else {
-      for (i32 d = 0; ; d++) {
+      for (I d = 0; ; d++) {
         if (T[pos + d] != T[prev + d] || stype[pos + d] != stype[prev + d]) {
           diff = true; break;
         }
@@ -2014,44 +2234,45 @@ static void sais_core(const i32* T, i32* SA, i32 n, i32 K, i32* unused) {
     if (diff) { name++; prev = pos; }
     s1[(pos >> 1)] = name - 1;
   }
-  vector<i32> lms_pos;
+  vector<I> lms_pos;
   lms_pos.reserve(n1);
-  vector<i32> t1;
+  vector<I> t1;
   t1.reserve(n1);
-  for (i32 i = 1; i < n; i++)
+  for (I i = 1; i < n; i++)
     if (is_lms(i)) lms_pos.push_back(i);
-  for (i32 i = 0; i < (i32)lms_pos.size(); i++)
+  for (I i = 0; i < (I)lms_pos.size(); i++)
     t1.push_back(s1[lms_pos[i] >> 1]);
 
   // 3) order LMS suffixes: recurse if names collide
-  vector<i32> sa1(n1);
+  vector<I> sa1(n1);
   if (name < n1) {
-    sais_core(t1.data(), sa1.data(), n1, name, nullptr);
+    sais_core<I>(t1.data(), sa1.data(), n1, name,
+                 (I*)nullptr);
   } else {
-    for (i32 i = 0; i < n1; i++) sa1[t1[i]] = i;
+    for (I i = 0; i < n1; i++) sa1[t1[i]] = i;
   }
 
   // 4) final induced sort from correctly ordered LMS suffixes
   std::fill(SA, SA + n, -1);
   {
-    i32 acc = 0;
-    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
-    for (i32 i = n1 - 1; i >= 0; i--) {
-      i32 j = lms_pos[sa1[i]];
+    I acc = 0;
+    for (I c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (I i = n1 - 1; i >= 0; i--) {
+      I j = lms_pos[sa1[i]];
       SA[--bkt[T[j]]] = j;
     }
   }
   {
     bkt[0] = 0;
-    for (i32 c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
-    for (i32 i = 0; i < n; i++) {
-      i32 j = SA[i];
+    for (I c = 1; c < K; c++) bkt[c] = bkt[c - 1] + cnt[c - 1];
+    for (I i = 0; i < n; i++) {
+      I j = SA[i];
       if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
     }
-    i32 acc = 0;
-    for (i32 c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
-    for (i32 i = n - 1; i >= 0; i--) {
-      i32 j = SA[i];
+    I acc = 0;
+    for (I c = 0; c < K; c++) { acc += cnt[c]; bkt[c] = acc; }
+    for (I i = n - 1; i >= 0; i--) {
+      I j = SA[i];
       if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
     }
   }
@@ -2060,14 +2281,27 @@ static void sais_core(const i32* T, i32* SA, i32 n, i32 K, i32* unused) {
 extern "C" {
 // text: 2-bit codes (0..3), length n. Fills sa[n] with the suffix order
 // of the text WITHOUT a sentinel row (matching index/suffix.py).
+extern "C" {
 void mc_build_suffix_array(const unsigned char* text, i64 n, i32* sa) {
   vector<i32> T(n + 1);
   for (i64 i = 0; i < n; i++) T[i] = (i32)text[i] + 1;
   T[n] = 0;  // unique smallest sentinel
   vector<i32> SA(n + 1);
-  sais_core(T.data(), SA.data(), (i32)(n + 1), 5, nullptr);
+  sais_core<i32>(T.data(), SA.data(), (i32)(n + 1), 5, nullptr);
   // SA[0] is the sentinel suffix; the rest is the sentinel-free order
   memcpy(sa, SA.data() + 1, n * sizeof(i32));
+}
+
+// int64 variant for texts >= 2^31 (human-scale fwd+rc). Same linear
+// algorithm; needs ~17 B/char of host RAM at build time, in line with
+// what the reference's builder machines provision.
+void mc_build_suffix_array64(const unsigned char* text, i64 n, i64* sa) {
+  vector<i64> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = (i64)text[i] + 1;
+  T[n] = 0;
+  vector<i64> SA(n + 1);
+  sais_core<i64>(T.data(), SA.data(), n + 1, (i64)5, nullptr);
+  memcpy(sa, SA.data() + 1, n * sizeof(i64));
 }
 
 // 3-step occ table build (see index/occ3.py for layout + conventions):

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Chromosome-scale smoke run (VERDICT round-1 item 7): build a >=60 Mb
+index, map + call simulated reads, and report wall times + host RSS +
+device memory. Writes CHR_SCALE.json at the repo root.
+
+The 60 Mb genome (120 Mb fwd+rc text) exceeds the 3-step occ-table
+budget, so this also exercises the 1-step fallback kernel and the
+sampled-SA policy end to end."""
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIR = "/tmp/chrscale"
+L = 60_000_000
+N_READS = 100_000
+
+
+def rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main():
+    import numpy as np
+    from mapcaller_tpu import enable_compilation_cache, tune_host_allocator
+    tune_host_allocator()
+    enable_compilation_cache()
+    from mapcaller_tpu.dna import decode
+    from mapcaller_tpu.index.fmindex import (build_index, index_exists,
+                                             load_index)
+
+    os.makedirs(DIR, exist_ok=True)
+    out = {}
+    fa = f"{DIR}/chr.fa"
+    if not os.path.exists(fa):
+        rng = np.random.default_rng(42)
+        with open(fa, "w") as f:
+            f.write(">chr20like\n")
+            for lo in range(0, L, 1_000_000):
+                s = decode(rng.integers(0, 4, size=min(1_000_000, L - lo))
+                           .astype(np.uint8))
+                for i in range(0, len(s), 70):
+                    f.write(s[i:i + 70] + "\n")
+    t0 = time.time()
+    if not index_exists(f"{DIR}/idx"):
+        build_index(fa, f"{DIR}/idx")
+        out["index_build_s"] = round(time.time() - t0, 1)
+    idx = load_index(f"{DIR}/idx")
+    out["genome_mb"] = idx.genome_size / 1e6
+    out["rss_after_index_gb"] = round(rss_gb(), 2)
+
+    fq1, fq2 = f"{DIR}/r1.fq", f"{DIR}/r2.fq"
+    if not os.path.exists(fq1):
+        from mapcaller_tpu.simulator import write_paired_fastq
+        # reads straight off the reference (variant recall isn't the
+        # point here; scale + memory + throughput are)
+        write_paired_fastq(fa, fq1, fq2, N_READS // 2, seed=9)
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.pipeline.engine import MappingEngine
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    from mapcaller_tpu.runner import make_engine, run_calling
+
+    cfg = Config(vcf_file=f"{DIR}/out.vcf", log_file=f"{DIR}/job.log",
+                 batch_size=8192, max_read_len=128)
+    engine = make_engine(idx, cfg)
+    out["device_kernel"] = "occ3" if engine.backend._fm3_ok else "occ1-fallback"
+    out["full_sa_in_hbm"] = bool(engine.backend.fm.has_full_sa)
+    cfg.read_files1, cfg.read_files2 = [fq1], [fq2]
+    t0 = time.time()
+    run_stream_mapping(engine, cfg, t0)
+    engine.finalize()
+    out["map_s_incl_compile"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    counts = run_calling(engine, cfg, "chr-scale-smoke")
+    out["call_s"] = round(time.time() - t0, 1)
+    out["variant_counts"] = counts
+    out["reads"] = engine.stats.total_reads
+    out["mapped_pct"] = round(100.0 * engine.stats.total_mapped
+                              / max(engine.stats.total_reads, 1), 2)
+    # steady-state second pass
+    engine2 = MappingEngine(idx, cfg, backend=engine.backend)
+    t0 = time.time()
+    run_stream_mapping(engine2, cfg, t0)
+    engine2.finalize()
+    run_calling(engine2, cfg, "chr-scale-smoke")
+    dt = time.time() - t0
+    out["steady_map_call_s"] = round(dt, 1)
+    out["steady_reads_per_s"] = round(engine2.stats.total_reads / dt, 1)
+    out["rss_peak_gb"] = round(rss_gb(), 2)
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats()
+        if ms:
+            out["hbm_in_use_gb"] = round(ms.get("bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CHR_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

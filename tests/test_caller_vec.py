@@ -79,3 +79,32 @@ def test_vec_matches_scalar(seed, kwargs):
     want = _identify_variants_scalar(cfg, genome, prof, ref, bd)
     got = _identify_variants_vec(cfg, genome, prof, ref, bd)
     assert [vars(v) for v in got] == [vars(v) for v in want]
+
+
+@pytest.mark.parametrize("gvcf,mono,somatic,ploidy", [
+    (True, False, False, 2),
+    (True, False, True, 2),
+    (False, True, False, 2),
+    (False, True, False, 1),
+    (True, True, False, 2),
+])
+def test_gvcf_vec_matches_scalar(gvcf, mono, somatic, ploidy):
+    from mapcaller_tpu.calling.caller import _identify_variants_gvcf_vec
+    rng = np.random.default_rng(77 + ploidy + 2 * gvcf + 4 * mono)
+    L = 4000
+    prof, ref = _random_profile(rng, L)
+    genome = _genome(L)
+    cfg = Config(vcf_file="x", log_file="x", gvcf=gvcf, monomorphic=mono,
+                 somatic=somatic, ploidy=ploidy)
+    bd = cal_block_read_depth(prof, L)
+    want = _identify_variants_scalar(cfg, genome, prof, ref, bd)
+    got = _identify_variants_gvcf_vec(cfg, genome, prof, ref, bd)
+
+    def key(v):
+        return (v.gPos, v.VarType, v.DP, v.AD_ref, v.AD_alt, v.GenoType,
+                v.qscore, v.ALTstr)
+
+    kw, kg = [key(v) for v in want], [key(v) for v in got]
+    assert kw == kg, (len(kw), len(kg),
+                      [x for x, y in zip(kw, kg) if x != y][:3])
+    assert len(kw) > 10
