@@ -299,8 +299,8 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
     from .fm3_device import DeviceFM3
     assert batch % 32 == 0 and max_len <= 511
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
-    H = batch * 9 // 4              # raw hit expansion capacity
-    H2 = batch * slow_hits_x4 // 4  # compacted slow-hit capacity
+    H = batch * max(9, slow_hits_x4) // 4   # raw hit expansion capacity
+    H2 = batch * slow_hits_x4 // 4          # compacted slow-hit capacity
     use_occ3 = isinstance(fm_template, DeviceFM3)
 
     def kernel(fm, ctx: ChainCtx, packed: jnp.ndarray, rlens: jnp.ndarray):

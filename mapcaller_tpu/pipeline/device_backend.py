@@ -35,6 +35,10 @@ class DeviceBackend:
         # device chaining/classification (ops/chain_device.py) in the
         # stream path; disable to fall back to hit downloads + host chaining
         self.chain_enabled = getattr(cfg, "device_chain", True)
+        # capacity-overflow observability (repeat-rich genomes)
+        self.n_tier_reruns = 0
+        self.n_full_fallbacks = 0
+        self.n_oracle_reads = 0
         # 3-step occ table: ~18 B/text-base of HBM; cap its use at 512 Mbp
         # of text (fwd+rc) so big genomes fall back to the 1-step kernel
         self._fm3_ok = idx.sa_full is not None and idx.seq_len < (1 << 29)
@@ -192,12 +196,14 @@ class DeviceBackend:
         (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
          overflow, buf_ovf) = out
         if buf_ovf:
+            self.n_tier_reruns += 1
             kernel2 = self._chain_kernel_for(bucket, tier=18,
                                              batch=len(rlens))
             dev2, _, _ = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
             (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
              overflow, buf_ovf) = kernel2.collect(dev2)
             if buf_ovf:   # pathological: host oracle for everything
+                self.n_full_fallbacks += 1
                 cls = np.full(n, CLASS_SLOW, dtype=np.int32)
                 counts = np.zeros(n, dtype=np.int32)
                 return self._splice_chain(
@@ -208,6 +214,7 @@ class DeviceBackend:
         fallback = overflow[:n] | fb_neg[:n]
         cls = cls[:n].copy()
         counts = counts[:n]
+        self.n_oracle_reads += int(fallback.sum())
         if fallback.any():
             # drop device hits of fallback reads, then splice oracle seeds
             bounds = np.zeros(n + 1, dtype=np.int64)
