@@ -20,7 +20,7 @@ import numpy as np
 
 BLOCK_SIZE = 100
 CAND_CAP = 1 << 17
-RUN_CAP = 1 << 16
+RUN_CAP = 1 << 20
 
 
 @functools.lru_cache(maxsize=None)
