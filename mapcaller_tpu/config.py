@@ -60,6 +60,7 @@ class Config:
     device_chain: bool = True                   # device chaining/classification
     stream_pipeline_depth: int = 2              # device batches in flight
     device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
+    prefix_skip_k: int = 0                      # seed-start skip table depth (0=off: lockstep max-lane length eats the gain; see ROADMAP)
     max_read_len: int = 256                     # padded read length bucket
 
     # fixed algorithm constants (ref: structure.h:20-25, bwt_search.cpp:3-6)

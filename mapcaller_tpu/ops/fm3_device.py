@@ -32,6 +32,7 @@ class DeviceFM3:
     fm: DeviceFMIndex          # 1-step table (sa_resolve / inv_psi) + L2
     occ3_rows: jnp.ndarray     # int32[nw3, 72]
     c3_first: jnp.ndarray      # int32[64]
+    pfx: jnp.ndarray           # int32[4^pfx_k, 4] prefix-skip table (or [0,4])
     row_p1: int                # static correction constants
     row_p2: int
     t0: int
@@ -39,15 +40,17 @@ class DeviceFM3:
     tail1: int
     tail2a: int
     tail2b: int
+    pfx_k: int = 0
 
     def tree_flatten(self):
-        return ((self.fm, self.occ3_rows, self.c3_first),
+        return ((self.fm, self.occ3_rows, self.c3_first, self.pfx),
                 (self.row_p1, self.row_p2, self.t0, self.t1,
-                 self.tail1, self.tail2a, self.tail2b))
+                 self.tail1, self.tail2a, self.tail2b, self.pfx_k))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(children[0], children[1], children[2], children[3],
+                   *aux[:7], pfx_k=aux[7])
 
     # convenience pass-throughs for the shared scan/compaction code
     @property
@@ -64,18 +67,23 @@ class DeviceFM3:
 
     @classmethod
     def from_host(cls, idx: FMIndex,
-                  dev_fm: DeviceFMIndex | None = None) -> "DeviceFM3":
+                  dev_fm: DeviceFMIndex | None = None,
+                  pfx_k: int = 0) -> "DeviceFM3":
         if idx.sa_full is None:
             raise NotImplementedError("occ3 build requires sa_full (use the "
                                       "1-step kernel for >1Gbp genomes)")
+        assert 0 <= pfx_k <= 15   # must stay below MinSeedLength
         tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
         fm = dev_fm if dev_fm is not None else DeviceFMIndex.from_host(idx)
+        pfx = (build_prefix_table(fm, pfx_k) if pfx_k > 0
+               else jnp.zeros((0, 4), jnp.int32))
         return cls(fm=fm,
                    occ3_rows=jnp.asarray(tab.rows),
                    c3_first=jnp.asarray(tab.c3_first),
+                   pfx=pfx,
                    row_p1=tab.row_p1, row_p2=tab.row_p2,
                    t0=tab.t0, t1=tab.t1, tail1=tab.tail1,
-                   tail2a=tab.tail2a, tail2b=tab.tail2b)
+                   tail2a=tab.tail2a, tail2b=tab.tail2b, pfx_k=pfx_k)
 
 
 def gather3(fm3: DeviceFM3, i: jnp.ndarray):
@@ -187,3 +195,48 @@ def step1_update(fm3: DeviceFM3, x0, x1, x2, e0, gk, gl):
     new_x1 = jnp.where(onehot_c, ok_x1, 0).sum(axis=-1)
     new_x2 = jnp.where(onehot_c, ok_x2, 0).sum(axis=-1)
     return new_x0, new_x1, new_x2
+
+
+def build_prefix_table(fm: "DeviceFMIndex", K: int) -> jnp.ndarray:
+    """Interval-state lookup table for all 4^K read prefixes: entry
+    (e0..e_{K-1}) holds (x0, x1, x2, 0) after K forward-extension steps
+    from scratch, built level-by-level on device with the occ4 ladder
+    (~2*4^K gathers total). An extension start then jumps K bases with
+    ONE 16-byte gather instead of K sequential occ steps; an empty
+    entry (x2 == 0, MEM ends inside the first K bases) falls back to
+    the 1-step walk, which finds the exact end (K < MinSeedLength, so
+    such seeds are discarded either way — only the skip distance needs
+    to be exact)."""
+    from .fm_device import occ4
+
+    @jax.jit
+    def build(fm):
+        L2 = fm.L2
+        c = jnp.arange(4, dtype=jnp.int32)
+        x0 = (L2[c] + 1).astype(jnp.int32)
+        x1 = (L2[3 - c] + 1).astype(jnp.int32)
+        x2 = (L2[c + 1] - L2[c]).astype(jnp.int32)
+        for _ in range(1, K):
+            alive = x2 > 0
+            k1 = jnp.where(alive, x1 - 1, 0)
+            k2 = jnp.where(alive, x1 - 1 + x2, 0)
+            tk = occ4(fm, k1)
+            tl = occ4(fm, k2)
+            ok_x1 = L2[:4][None, :] + 1 + tk
+            ok_x2 = tl - tk
+            adj = ((x1 <= fm.primary) & (x1 + x2 - 1 >= fm.primary)
+                   ).astype(jnp.int32)
+            ok3 = x0 + adj
+            ok2 = ok3 + ok_x2[:, 3]
+            ok1 = ok2 + ok_x2[:, 2]
+            ok0 = ok1 + ok_x2[:, 1]
+            ok_x0 = jnp.stack([ok0, ok1, ok2, ok3], axis=1)
+            ci = 3 - jnp.arange(4)
+            x0 = ok_x0[:, ci].reshape(-1).astype(jnp.int32)
+            x1 = ok_x1[:, ci].reshape(-1).astype(jnp.int32)
+            x2 = jnp.where(jnp.repeat(alive, 4),
+                           ok_x2[:, ci].reshape(-1), 0).astype(jnp.int32)
+        zero = jnp.zeros_like(x0)
+        return jnp.stack([x0, x1, x2, zero], axis=1)
+
+    return build(fm)

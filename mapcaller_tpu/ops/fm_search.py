@@ -38,7 +38,7 @@ def crumb_lookup(packed: jnp.ndarray, row: jnp.ndarray,
     return (byte >> ((pos & 3) * 2)) & 3
 
 
-def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds):
+def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None):
     """Greedy-MEM state machine on the 3-step occ table (ops/fm3_device):
     extensions advance 3 bases per iteration (2 gathers) while >=3 bases
     remain; on a 3-step failure the lane replays from the saved state
@@ -60,6 +60,11 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds):
 
         cpos = codes_fn(bidx, jnp.minimum(pos, max_len - 1))
         start_new = active & (~in_ext)
+        x0_init = L2[cpos & 3] + 1
+        x1_init = L2[(3 - cpos) & 3] + 1
+        x2_init = L2[(cpos & 3) + 1] - L2[cpos & 3]
+        ext_init = pos + 1
+        replay_init = jnp.zeros(B, bool)
 
         ext_active = active & in_ext
         at_end = ext_active & (ext_pos >= rlens)
@@ -102,18 +107,19 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds):
         n_seeds = jnp.where(good, jnp.minimum(n_seeds + 1, max_seeds), n_seeds)
 
         pos = jnp.where(finalize, start + slen + 1, pos)
-        x0 = jnp.where(start_new, L2[cpos & 3] + 1,
+        x0 = jnp.where(start_new, x0_init,
              jnp.where(ok3, n3_x0, jnp.where(ok1, n1_x0, x0)))
-        x1 = jnp.where(start_new, L2[(3 - cpos) & 3] + 1,
+        x1 = jnp.where(start_new, x1_init,
              jnp.where(ok3, n3_x1, jnp.where(ok1, n1_x1, x1)))
-        x2 = jnp.where(start_new, L2[(cpos & 3) + 1] - L2[cpos & 3],
+        x2 = jnp.where(start_new, x2_init,
              jnp.where(ok3, n3_x2, jnp.where(ok1, n1_x2, x2)))
         start = jnp.where(start_new, pos, start)
-        ext_pos = jnp.where(start_new, pos + 1,
+        ext_pos = jnp.where(start_new, ext_init,
                   jnp.where(ok3, ext_pos + 3,
                   jnp.where(ok1, ext_pos + 1, ext_pos)))
         in_ext = jnp.where(start_new, True, jnp.where(finalize, False, in_ext))
-        replay = jnp.where(start_new | finalize, False, replay | fail3)
+        replay = jnp.where(finalize, False,
+                 jnp.where(start_new, replay_init, replay | fail3))
 
         return (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
                 n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
@@ -121,7 +127,25 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds):
     z = rlens * 0
     zb = z != 0
     zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
-    state = (z, zb, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
+    K = fm3.pfx_k
+    if K and key_fn is not None:
+        # prefix-skip for the FIRST extension of every read (pos 0): one
+        # 16-byte gather per lane replaces its first K steps. Non-empty
+        # entries jump straight to state-after-K; empty entries (the MEM
+        # ends inside the first K < MinSeedLength bases) just start
+        # normally — the 3-step/replay machinery finds the exact end.
+        bidx0 = jnp.arange(B, dtype=jnp.int32)
+        trow = fm3.pfx[key_fn(bidx0, z)]
+        jump0 = (rlens >= MIN_SEED_LEN + 1) & (trow[:, 2] > 0)
+        in_ext0 = jump0
+        ext0 = jnp.where(jump0, K, 0)
+        x0_0 = jnp.where(jump0, trow[:, 0], 0)
+        x1_0 = jnp.where(jump0, trow[:, 1], 0)
+        x2_0 = jnp.where(jump0, trow[:, 2], 0)
+        state = (z, in_ext0, zb, z, ext0, x0_0, x1_0, x2_0,
+                 z, zs, zs, zs, zs, zb)
+    else:
+        state = (z, zb, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
     # worst case ~1.5 iterations/base (len-1 MEMs: init + 3-fail +
     # 1-replay-fail per 2-base advance) + 2/seed finalize
     n_iters = (3 * max_len) // 2 + 2 * max_seeds + 8
@@ -189,9 +213,30 @@ def build_seed_kernel_packed(fm_template, max_len: int,
             return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
                     ).astype(jnp.int32)
 
+
+        def key_fn(row, pos):
+            wi = pos >> 4
+            w0 = jnp.where(widx == wi[:, None], words, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            w1 = jnp.where(widx == (wi + 1)[:, None], words, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            sh = ((pos & 15) * 2).astype(jnp.uint32)
+            lo = w0 >> sh
+            hi = jnp.where(sh > 0, w1 << (jnp.uint32(32) - sh),
+                           jnp.uint32(0))
+            comb = lo | hi
+            KK = fm_template.pfx_k
+            key = jnp.zeros_like(pos)
+            for j in range(KK):
+                key = key | (((comb >> jnp.uint32(2 * j)) & 3
+                              ).astype(jnp.int32) << (2 * (KK - 1 - j)))
+            return key
+
+        kf = key_fn if (use_occ3 and getattr(fm_template, "pfx_k", 0)) else None
+
         if use_occ3:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
-                fm, codes_fn, rlens, B, max_len, max_seeds)
+                fm, codes_fn, rlens, B, max_len, max_seeds, key_fn=kf)
         else:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
                 fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)
@@ -320,9 +365,30 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
             return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
                     ).astype(jnp.int32)
 
+
+        def key_fn(row, pos):
+            wi = pos >> 4
+            w0 = jnp.where(widx == wi[:, None], words_le, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            w1 = jnp.where(widx == (wi + 1)[:, None], words_le, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            sh = ((pos & 15) * 2).astype(jnp.uint32)
+            lo = w0 >> sh
+            hi = jnp.where(sh > 0, w1 << (jnp.uint32(32) - sh),
+                           jnp.uint32(0))
+            comb = lo | hi
+            KK = fm_template.pfx_k
+            key = jnp.zeros_like(pos)
+            for j in range(KK):
+                key = key | (((comb >> jnp.uint32(2 * j)) & 3
+                              ).astype(jnp.int32) << (2 * (KK - 1 - j)))
+            return key
+
+        kf = key_fn if (use_occ3 and getattr(fm_template, "pfx_k", 0)) else None
+
         if use_occ3:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
-                fm, codes_fn, rlens, B, max_len, max_seeds)
+                fm, codes_fn, rlens, B, max_len, max_seeds, key_fn=kf)
         else:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan(
                 fm, codes_fn, rlens, B, max_len, max_seeds, has_n=False)

@@ -47,7 +47,13 @@ class DeviceBackend:
     def fm3(self):
         if self._fm3 is None and self._fm3_ok:
             from ..ops.fm3_device import DeviceFM3
-            self._fm3 = DeviceFM3.from_host(self.idx, self.fm)
+            import jax
+            k = int(getattr(self.cfg, "prefix_skip_k", 12))
+            if jax.default_backend() != "tpu":
+                # identical semantics at any depth; smaller table keeps
+                # CPU test runs cheap
+                k = min(k, 8)
+            self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k)
         return self._fm3
 
     def _kernel_for(self, bucket: int):
@@ -181,6 +187,18 @@ class DeviceBackend:
         rl = np.maximum(rlens, 0)
         packed_dev = jnp.asarray(packed)
         rl_dev = jnp.asarray(rl)
+        dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
+        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                pd_dev, mmp_dev, rl_dev)
+
+    def submit_chain_sliced(self, packed_dev, rl_dev, rlens: np.ndarray,
+                            bucket: int, tier: int = 2):
+        """Like submit_chain, but the 2-bit codes are already device-
+        resident (one bulk upload covers many batches; per-batch views
+        are eager device slices, so the tunnel pays one transfer instead
+        of one per batch)."""
+        kernel = self._chain_kernel_for(bucket, tier,
+                                        batch=int(packed_dev.shape[0]))
         dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
         return (kernel, dev, rlens < 0, packed_dev, bucket, rlens,
                 pd_dev, mmp_dev, rl_dev)

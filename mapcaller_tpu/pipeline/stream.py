@@ -57,10 +57,9 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # device kernels require batch % 32 == 0 (fm_search assertions)
         sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
         use_chain = getattr(be, "chain_enabled", True)
-        # keep `depth` device batches in flight: the tunnel link (H2D +
-        # D2H) then overlaps both device compute and host processing;
-        # the native parser has 4 slots, so depth <= 3
-        depth = min(3, max(1, getattr(cfg, "stream_pipeline_depth", 2)))
+        # keep `depth` device batches in flight (16 parser slots bound
+        # the batches whose host-side read data must stay alive)
+        depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2)))
         from collections import deque
         slot = 0
         pending = deque()
@@ -77,7 +76,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 token = (be.submit_chain(packed, rlens, bucket) if use_chain
                          else be.submit_packed(packed, rlens, bucket))
                 pending.append((slot, n, token))
-                slot = (slot + 1) & 3
+                slot = (slot + 1) & 15
             if not pending:
                 break
             pslot, pn, ptoken = pending.popleft()

@@ -1643,7 +1643,7 @@ struct Stream {
   Input in1, in2;
   bool paired_files = false;
   bool pair_interleaved = false;
-  Batch slot[4];
+  Batch slot[16];
 };
 
 static thread_local Stream g_stream;
@@ -1740,7 +1740,7 @@ void mc_set_input(void* ctx, const char* buf1, i64 len1,
 i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
   (void)ctx;
   Stream& st = g_stream;
-  Batch& b = st.slot[slot_idx & 3];
+  Batch& b = st.slot[slot_idx & 15];
   if ((i32)b.reads.size() < max_reads) b.reads.resize(max_reads);
   i32 n = 0;
   i32 maxlen = 0;
@@ -1772,7 +1772,7 @@ i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
 void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
                     i32* rlens, i32 bucket, i32 cap) {
   (void)ctx;
-  Batch& b = g_stream.slot[slot_idx & 3];
+  Batch& b = g_stream.slot[slot_idx & 15];
   memset(codes, 4, (size_t)cap * bucket);
   for (i32 i = 0; i < b.n; i++) {
     const string& s = b.reads[i].seq;
@@ -1792,7 +1792,7 @@ void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
 void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
                            i32* rlens, i32 bucket, i32 cap) {
   (void)ctx;
-  Batch& b = g_stream.slot[slot_idx & 3];
+  Batch& b = g_stream.slot[slot_idx & 15];
   i32 wb = bucket / 4;
   memset(packed, 0, (size_t)cap * wb);
   for (i32 i = 0; i < b.n; i++) {
@@ -1818,7 +1818,7 @@ void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
 // resize its buffer and retry when cap was too small
 i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf, i32 cap) {
   (void)ctx;
-  const string& s = g_stream.slot[slot_idx & 3].reads[i].seq;
+  const string& s = g_stream.slot[slot_idx & 15].reads[i].seq;
   size_t n = s.size() < (size_t)cap ? s.size() : (size_t)cap;
   memcpy(buf, s.data(), n);
   return (i32)s.size();
@@ -1833,7 +1833,7 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                       const i64* seed_gpos, const i32* seed_len,
                       i64* stats_io, i64* out_sizes /*[8]*/) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 3];
+  Batch& b = g_stream.slot[slot_idx & 15];
   c.fastq = fastq != 0;
   ChunkOut& o = g_out;
   o = ChunkOut();
@@ -1904,7 +1904,7 @@ void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                           const i64* seed_gpos, const i32* seed_len,
                           i64* stats_io, i64* out_sizes /*[8]*/) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 3];
+  Batch& b = g_stream.slot[slot_idx & 15];
   c.fastq = fastq != 0;
   ChunkOut& o = g_out;
   o = ChunkOut();
@@ -1977,7 +1977,7 @@ i64 mc_prepare_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                          const i32* seed_counts, const i32* seed_rpos,
                          const i64* seed_gpos, const i32* seed_len) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 3];
+  Batch& b = g_stream.slot[slot_idx & 15];
   i32 n = b.n;
   i64 t0 = now_ns();
   g_prep.reads.assign((size_t)n, Read());

@@ -184,3 +184,43 @@ def test_occ3_seed_kernel_matches_oracle():
         got = sorted(zip(rpos[s:t].tolist(), gpos[s:t].tolist(),
                          slen[s:t].tolist()))
         assert got == want_set, (i, got, want_set)
+
+
+def test_occ3_seed_kernel_with_prefix_skip():
+    """pfx_k > 0 must not change the seed set: the first-extension jump
+    replaces the first K steps with one table gather."""
+    idx = _make_idx(23, 4000)
+    fm = DeviceFMIndex.from_host(idx)
+    fm3 = DeviceFM3.from_host(idx, fm, pfx_k=8)
+    rng = np.random.default_rng(6)
+    text = idx.ref.fwd_rc_codes()
+    B, W = 64, 128
+    packed = np.zeros((B, W // 4), dtype=np.uint8)
+    rlens = np.zeros(B, dtype=np.int32)
+    reads = []
+    for i in range(B):
+        ln = int(rng.integers(30, 121))
+        pos = int(rng.integers(0, idx.genome_size - 121))
+        r = text[pos:pos + ln].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, ln))
+            r[j] = (r[j] + 1 + rng.integers(0, 3)) % 4
+        reads.append(r)
+        rlens[i] = ln
+        for j, c in enumerate(r):
+            packed[i, j >> 2] |= c << ((j & 3) * 2)
+    kern = build_seed_kernel_packed(fm3, W, B, hits_per_read_x4=40)
+    dev = kern(jnp.asarray(packed), jnp.asarray(rlens))
+    counts, rpos, gpos, slen, overflow, buf_ovf = kern.collect(dev)
+    assert not buf_ovf
+    bounds = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    for i, r in enumerate(reads):
+        if overflow[i]:
+            continue
+        want = sorted((p.rPos, p.gPos, p.rLen)
+                      for p in identify_simple_pairs(idx, r)[:-1])
+        s, t = bounds[i], bounds[i + 1]
+        got = sorted(zip(rpos[s:t].tolist(), gpos[s:t].tolist(),
+                         slen[s:t].tolist()))
+        assert got == want, (i, got, want)
