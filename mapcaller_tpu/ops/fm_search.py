@@ -38,7 +38,8 @@ def crumb_lookup(packed: jnp.ndarray, row: jnp.ndarray,
     return (byte >> ((pos & 3) * 2)) & 3
 
 
-def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None):
+def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
+                gather_fn=None, sync_axis=None):
     """Greedy-MEM state machine on the 3-step occ table (ops/fm3_device):
     extensions advance 3 bases per iteration (2 gathers) while >=3 bases
     remain; on a 3-step failure the lane replays from the saved state
@@ -47,6 +48,8 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None):
     is bit-identical to _seed_scan / BWT_Search (ref: bwt_search.cpp:
     121-164)."""
     from .fm3_device import gather3, step1_update, step3_update
+    if gather_fn is None:
+        gather_fn = gather3
     L2 = fm3.L2
     primary = fm3.primary
 
@@ -78,8 +81,8 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None):
 
         k = jnp.where(extending, x1, 0)
         l = jnp.where(extending, x1 + x2, 0)
-        gk = gather3(fm3, k)
-        gl = gather3(fm3, l)
+        gk = gather_fn(fm3, k)
+        gl = gather_fn(fm3, l)
         n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2, gk, gl)
         n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
 
@@ -155,8 +158,12 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None):
     def block_cond(carry):
         i, s = carry
         pos, in_ext = s[0], s[1]
-        active = in_ext | (pos < rlens - MIN_SEED_LEN)
-        return (i < n_blocks) & jnp.any(active)
+        active = jnp.any(in_ext | (pos < rlens - MIN_SEED_LEN))
+        if sync_axis is not None:
+            # collectives inside the body (sharded-index routing) need
+            # every device to run the same trip count
+            active = jax.lax.psum(active.astype(jnp.int32), sync_axis) > 0
+        return (i < n_blocks) & active
 
     def block_body(carry):
         i, s = carry

@@ -1,0 +1,173 @@
+"""Genome-sharded FM-index over the device mesh — the human-scale
+design (SURVEY §2d / §7: "SA-resolution gathers are random-access over
+a multi-GB array ... needs genome sharding + request routing, the real
+distributed-systems work").
+
+A >1 Gbp fwd+rc text does not fit one chip's HBM at the 18 B/base of
+the 3-step occ table. Here the occ3 rows are sharded along the BWT-row
+axis over the 'dp' mesh: each device owns a contiguous slice. The
+seeding state machine is unchanged (ops/fm_search._seed_scan3) — only
+its row gathers are replaced by a ROUTED gather:
+
+  1. all_gather the per-device query indices (each device's read shard
+     produces B row indices per step),
+  2. every device answers the queries that land in its slice with a
+     local gather (others contribute zeros),
+  3. psum combines the answers; each device keeps its own lanes.
+
+Per step the collective moves n_dev * B row indices + the combined
+rows — bandwidth-wise this rides ICI, which is exactly where the
+north-star design wants it. The same routing pattern applies to the
+sampled-SA walk (sa_resolve) for full human-scale operation.
+
+Proven bit-exact against the replicated-index kernel on the virtual
+CPU mesh (tests/test_mesh.py::test_sharded_index_seeding).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.fm3_device import DeviceFM3
+from ..ops.fm_search import MIN_SEED_LEN, _seed_scan3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedFM3:
+    """DeviceFM3 whose occ3 rows live as per-device slices. Inside
+    shard_map, `occ3_local` is this device's slice; row w belongs to
+    shard w // rows_per_shard."""
+    fm3: DeviceFM3             # occ3_rows replaced by a [0,72] stub
+    occ3_local: jnp.ndarray    # int32[rows_per_shard, 72] (per device)
+    rows_per_shard: int
+    n_shards: int
+
+    def tree_flatten(self):
+        return ((self.fm3, self.occ3_local),
+                (self.rows_per_shard, self.n_shards))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # scan pass-throughs (step3/step1 read these off the fm3 object)
+    @property
+    def L2(self):
+        return self.fm3.L2
+
+    @property
+    def primary(self):
+        return self.fm3.primary
+
+    @property
+    def c3_first(self):
+        return self.fm3.c3_first
+
+    @property
+    def row_p1(self):
+        return self.fm3.row_p1
+
+    @property
+    def row_p2(self):
+        return self.fm3.row_p2
+
+    @property
+    def t0(self):
+        return self.fm3.t0
+
+    @property
+    def t1(self):
+        return self.fm3.t1
+
+    @property
+    def tail1(self):
+        return self.fm3.tail1
+
+    @property
+    def tail2a(self):
+        return self.fm3.tail2a
+
+    @property
+    def tail2b(self):
+        return self.fm3.tail2b
+
+    @property
+    def pfx_k(self):
+        return 0
+
+
+def shard_occ3_rows(fm3: DeviceFM3, n_shards: int):
+    """Pad + split the occ3 rows into n_shards equal slices (host side);
+    returns (slices np[n_shards, rps, 72], rows_per_shard)."""
+    rows = np.asarray(fm3.occ3_rows)
+    nw = rows.shape[0]
+    rps = -(-nw // n_shards)
+    pad = np.zeros((n_shards * rps, 72), dtype=np.int32)
+    pad[:nw] = rows
+    return pad.reshape(n_shards, rps, 72), rps
+
+
+def routed_gather3(sfm: ShardedFM3, i: jnp.ndarray):
+    """gather3 over the sharded rows: all_gather the row-word queries,
+    answer locally, psum the contributions. Must run inside shard_map
+    over the 'dp' axis."""
+    w = i >> 4
+    all_w = jax.lax.all_gather(w, "dp")                 # [n, B]
+    my = jax.lax.axis_index("dp")
+    lo = my * sfm.rows_per_shard
+    local = all_w - lo
+    mine = (local >= 0) & (local < sfm.rows_per_shard)
+    rows = sfm.occ3_local[jnp.clip(local, 0, sfm.rows_per_shard - 1)]
+    rows = jnp.where(mine[..., None], rows, 0)          # [n, B, 72]
+    rows = jax.lax.psum(rows, "dp")
+    row = rows[my]                                      # this device's lanes
+    cnt64 = row[..., :64]
+    sym_bytes = jax.lax.bitcast_convert_type(row[..., 64:68], jnp.uint8)
+    syms = sym_bytes.reshape(sym_bytes.shape[:-2] + (16,)).astype(jnp.int32)
+    return cnt64, syms, (i & 15)
+
+
+def build_sharded_seed_scan(fm3: DeviceFM3, mesh: Mesh, n_devices: int,
+                            max_len: int, per_device_batch: int):
+    """Seeding scan with the occ3 table genome-sharded over the mesh:
+    jit fn(occ3_slices [n, rps, 72] sharded over dp, packed codes
+    [B_global, max_len/4] sharded, rlens sharded) -> per-read seed
+    tables (n_seeds, rpos, len, x0, freq) gathered to the host."""
+    B = per_device_batch
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    import dataclasses as dc
+    fm3_stub = dc.replace(fm3, occ3_rows=jnp.zeros((0, 72), jnp.int32))
+
+    def device_fn(occ3_local, packed, rlens):
+        occ3_local = occ3_local[0]      # shard_map keeps a size-1 lead dim
+        rps = occ3_local.shape[0]
+        sfm = ShardedFM3(fm3=fm3_stub, occ3_local=occ3_local,
+                         rows_per_shard=rps, n_shards=n_devices)
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words = (pb << sh).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words, 0).sum(axis=1,
+                                                    dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        return _seed_scan3(sfm, codes_fn, rlens, B, max_len, max_seeds,
+                           gather_fn=routed_gather3, sync_axis="dp")
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp", None, None), P("dp", None), P("dp")),
+                      out_specs=tuple([P("dp")] + [P("dp", None)] * 4
+                                      + [P("dp")])))
+    return fn

@@ -63,3 +63,78 @@ def test_multichip_pipeline_bit_identical():
 def test_multichip_pipeline_two_devices():
     import __graft_entry__ as ge
     ge.dryrun_multichip(2)
+
+
+def test_sharded_index_seeding():
+    """Genome-sharded FM-index: occ3 rows split over the 8-device mesh,
+    seed-scan row gathers routed via all_gather + local answer + psum —
+    the per-read seed tables must equal the replicated-index kernel's."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.index.packer import PackedReference
+    from mapcaller_tpu.ops.fm3_device import DeviceFM3
+    from mapcaller_tpu.ops.fm_search import MIN_SEED_LEN, _seed_scan3
+    from mapcaller_tpu.parallel.mesh import make_mesh
+    from mapcaller_tpu.parallel.sharded_index import (build_sharded_seed_scan,
+                                                      shard_occ3_rows)
+
+    rng = np.random.default_rng(17)
+    L = 12000
+    codes = rng.integers(0, 4, size=L).astype(np.uint8)
+    ref = PackedReference(["chr1"], [L], [0], codes, [])
+    idx = build_index(None, packed=ref)
+    fm3 = DeviceFM3.from_host(idx)
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    B, MAXLEN = 16, 64
+    BG = B * n_dev
+    text = idx.ref.fwd_rc_codes()
+    mat = np.zeros((BG, MAXLEN), dtype=np.uint8)
+    rlens = np.full(BG, 60, dtype=np.int32)
+    for b in range(BG):
+        p = int(rng.integers(0, idx.genome_size - 60))
+        r = text[p:p + 60].copy()
+        if b % 3 == 0:
+            j = int(rng.integers(0, 60))
+            r[j] = (r[j] + 1 + rng.integers(0, 3)) % 4
+        mat[b, :60] = r
+    packed = np.zeros((BG, MAXLEN // 4), dtype=np.uint8)
+    for j in range(4):
+        packed |= (mat[:, j::4] & 3) << (2 * j)
+
+    slices, rps = shard_occ3_rows(fm3, n_dev)
+    step = build_sharded_seed_scan(fm3, mesh, n_dev, MAXLEN, B)
+    occ_s = jax.device_put(jnp.asarray(slices),
+                           NamedSharding(mesh, P("dp", None, None)))
+    pk = jax.device_put(jnp.asarray(packed), NamedSharding(mesh, P("dp", None)))
+    rl = jax.device_put(jnp.asarray(rlens), NamedSharding(mesh, P("dp")))
+    got = jax.device_get(step(occ_s, pk, rl))
+
+    # replicated-index oracle: the same scan, plain gathers
+    max_seeds = MAXLEN // (MIN_SEED_LEN + 1) + 2
+
+    @jax.jit
+    def ref_scan(fm3, packed, rlens):
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(BG, nwords, 4)
+        sh = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words = (pb << sh).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words, 0).sum(axis=1, dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        return _seed_scan3(fm3, codes_fn, jnp.asarray(rlens), BG, MAXLEN,
+                           max_seeds)
+
+    want = jax.device_get(ref_scan(fm3, jnp.asarray(packed), rlens))
+    for gi, (g, w) in enumerate(zip(got, want)):
+        assert np.array_equal(np.asarray(g), np.asarray(w)), gi
+    assert int(np.asarray(want[0]).sum()) > BG // 2   # seeds actually found
