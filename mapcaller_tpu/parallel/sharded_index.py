@@ -171,3 +171,76 @@ def build_sharded_seed_scan(fm3: DeviceFM3, mesh: Mesh, n_devices: int,
                       out_specs=tuple([P("dp")] + [P("dp", None)] * 4
                                       + [P("dp")])))
     return fn
+
+
+def _routed_rows(local_rows: jnp.ndarray, rows_per_shard: int,
+                 i: jnp.ndarray) -> jnp.ndarray:
+    """Generic routed row gather over a table sharded along axis 0:
+    all_gather the indices, answer locally, psum. -> rows for this
+    device's lanes."""
+    all_i = jax.lax.all_gather(i, "dp")
+    my = jax.lax.axis_index("dp")
+    local = all_i - my * rows_per_shard
+    mine = (local >= 0) & (local < rows_per_shard)
+    rows = local_rows[jnp.clip(local, 0, rows_per_shard - 1)]
+    if rows.ndim > all_i.ndim:
+        rows = jnp.where(mine[..., None], rows, 0)
+    else:
+        rows = jnp.where(mine, rows, 0)
+    return jax.lax.psum(rows, "dp")[my]
+
+
+def build_sharded_sa_resolve(fm, mesh: Mesh, n_devices: int, B: int,
+                             max_walk: int = 192):
+    """Sampled-SA resolution with BOTH the 1-step occ rows and the
+    sampled SA genome-sharded over the mesh: every inverse-Psi step
+    routes its row gather through the collectives (the human-scale SA
+    walk; ref contract: src/bwt_search.cpp:109-119, bwt.c:101-123).
+
+    jit fn(occ_slices [n, rps, 8], sa_slices [n, sps], k [B_global],
+    active [B_global]) -> (loc, resolved), all sharded over dp."""
+    primary = fm.primary
+    L2 = fm.L2
+
+    def device_fn(occ_local, sa_local, k, active):
+        occ_local = occ_local[0]
+        sa_local = sa_local[0]
+        rps = occ_local.shape[0]
+        sps = sa_local.shape[0]
+
+        def routed_inv_psi(kk):
+            kadj = kk - (kk >= primary).astype(kk.dtype)
+            row = _routed_rows(occ_local, rps, kadj >> 4)
+            word = jax.lax.bitcast_convert_type(row[..., 4], jnp.uint32)
+            c = ((word >> (((~kadj & 0xF) << 1)).astype(jnp.uint32)) & 3
+                 ).astype(jnp.int32)
+            base = jnp.take_along_axis(row[..., :4], c[..., None],
+                                       axis=-1)[..., 0]
+            crumb = (~kadj) & 0xF
+            keep = (~((jnp.uint32(1) << (2 * crumb).astype(jnp.uint32))
+                      - jnp.uint32(1))) & jnp.uint32(0x55555555)
+            xw = word ^ (c.astype(jnp.uint32) * jnp.uint32(0x55555555))
+            nx = ~xw
+            m = nx & (nx >> 1) & keep
+            occ_kc = base + jax.lax.population_count(m).astype(jnp.int32)
+            return jnp.where(kk == primary, 0, L2[c] + occ_kc)
+
+        def body(_, state):
+            kk, steps = state
+            todo = active & ((kk & 31) != 0)
+            kn = routed_inv_psi(jnp.where(todo, kk, 32))
+            return (jnp.where(todo, kn, kk),
+                    jnp.where(todo, steps + 1, steps))
+
+        steps0 = jnp.zeros_like(k)
+        kf, stepsf = jax.lax.fori_loop(0, max_walk, body, (k, steps0))
+        resolved = active & ((kf & 31) == 0)
+        samp = _routed_rows(sa_local, sps, kf >> 5)
+        return stepsf + samp, resolved
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp", None, None), P("dp", None),
+                                P("dp"), P("dp")),
+                      out_specs=(P("dp"), P("dp"))))
+    return fn

@@ -138,3 +138,53 @@ def test_sharded_index_seeding():
     for gi, (g, w) in enumerate(zip(got, want)):
         assert np.array_equal(np.asarray(g), np.asarray(w)), gi
     assert int(np.asarray(want[0]).sum()) > BG // 2   # seeds actually found
+
+
+def test_sharded_sa_resolve():
+    """Sampled-SA walk with occ rows AND the sampled SA sharded over the
+    mesh, every inverse-Psi step routed through collectives — positions
+    must equal the host sa_lookup oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.index.packer import PackedReference
+    from mapcaller_tpu.ops.fm_device import DeviceFMIndex
+    from mapcaller_tpu.parallel.mesh import make_mesh
+    from mapcaller_tpu.parallel.sharded_index import build_sharded_sa_resolve
+
+    rng = np.random.default_rng(29)
+    L = 9000
+    codes = rng.integers(0, 4, size=L).astype(np.uint8)
+    ref = PackedReference(["chr1"], [L], [0], codes, [])
+    idx = build_index(None, packed=ref)
+    fm = DeviceFMIndex.from_host(idx)
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    BG = 16 * n_dev
+    rows = np.asarray(fm.occ_rows)
+    rps = -(-rows.shape[0] // n_dev)
+    occ_pad = np.zeros((n_dev * rps, 8), dtype=np.int32)
+    occ_pad[:rows.shape[0]] = rows
+    samp = np.asarray(fm.sa_samp)
+    sps = -(-samp.shape[0] // n_dev)
+    sa_pad = np.zeros((n_dev * sps,), dtype=np.int32)
+    sa_pad[:samp.shape[0]] = samp
+
+    ks = rng.integers(1, idx.seq_len, size=BG).astype(np.int32)
+    fn = build_sharded_sa_resolve(fm, mesh, n_dev, 16)
+    occ_s = jax.device_put(jnp.asarray(occ_pad.reshape(n_dev, rps, 8)),
+                           NamedSharding(mesh, P("dp", None, None)))
+    sa_s = jax.device_put(jnp.asarray(sa_pad.reshape(n_dev, sps)),
+                          NamedSharding(mesh, P("dp", None)))
+    k_s = jax.device_put(jnp.asarray(ks), NamedSharding(mesh, P("dp")))
+    act = jax.device_put(jnp.ones(BG, bool), NamedSharding(mesh, P("dp")))
+    loc, resolved = jax.device_get(fn(occ_s, sa_s, k_s, act))
+    res = np.asarray(resolved)
+    # the bounded walk resolves all but a geometric tail (production
+    # flags those lanes for the host-oracle fallback, fm_device.py)
+    assert res.sum() >= int(0.95 * BG), res.sum()
+    for i, k in enumerate(ks):
+        if res[i]:
+            assert int(loc[i]) == idx.sa_lookup(int(k)), (i, k)
