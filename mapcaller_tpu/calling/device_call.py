@@ -10,7 +10,6 @@ semantics (incl. the never-flushed trailing run, cpp:632-651).
 """
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Tuple
 
 import numpy as np

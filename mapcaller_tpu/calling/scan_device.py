@@ -12,7 +12,7 @@ consumer (record emission, VCF writer, SV scoring) reads.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

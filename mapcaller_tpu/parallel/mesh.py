@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.chain_device import CLASS_FAST, CLASS_SLOW, ChainCtx, classify_reads
 from ..ops.fm_device import DeviceFMIndex, sa_resolve

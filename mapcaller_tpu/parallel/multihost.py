@@ -26,9 +26,6 @@ from __future__ import annotations
 import argparse
 import functools
 import os
-import sys
-from typing import List, Tuple
-
 import numpy as np
 
 EVENT_CAP = 1 << 16
