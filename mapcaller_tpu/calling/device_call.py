@@ -16,9 +16,9 @@ import numpy as np
 
 from ..config import Config
 from ..genome import Genome
-from .caller import (BLOCK_SIZE, VAR_CNV, VAR_DEL, VAR_INS, VAR_SUB, VAR_UMR,
-                     Variant, determine_genotype, get_area_ind_frequency,
-                     identify_break_point_candidates)
+from .caller import (BLOCK_SIZE, VAR_CNV, VAR_DEL, VAR_INS, VAR_NOR,
+                     VAR_SUB, VAR_UMR, Variant, determine_genotype,
+                     get_area_ind_frequency, identify_break_point_candidates)
 from .scan_device import CAND_CAP, RUN_CAP, SparseProfile
 
 
@@ -166,6 +166,34 @@ def device_identify(engine, cfg: Config, genome: Genome
         out.append(Variant(int(s), VAR_UMR, DP=int(ln) & 0xFFFF))
     for s, ln in zip(run_start[dup_m].tolist(), run_lens[dup_m].tolist()):
         out.append(Variant(int(s), VAR_CNV, DP=int(ln) & 0xFFFF))
+
+    # --- gVCF NOR blocks on device (mirror of the NOR-block RLE in
+    # caller._identify_variants_gvcf_vec; cpp:652-661) --------------------
+    if cfg.gvcf:
+        emitted = np.array(sorted({v.gPos for v in out
+                                   if v.VarType in (VAR_SUB, VAR_INS,
+                                                    VAR_DEL)}),
+                           dtype=np.int32)
+        brk = set(emitted.tolist())
+        brk.update(int(e) for e, m in zip(ends.tolist(),
+                                          (gap_m | dup_m).tolist()) if m)
+        brk = np.array(sorted(brk), dtype=np.int32)
+        first, mincov, covf = dev.nor_blocks(emitted, brk)
+        BIG = 0x7FFFFFFF
+        nor_pos = []
+        for k in range(brk.size + 1):
+            if first[k] != BIG:
+                v = Variant(int(first[k]), VAR_NOR, DP=int(covf[k]),
+                            AD_alt=int(mincov[k]))
+                out.append(v)
+                nor_pos.append(int(first[k]))
+        # the VCF writer reads evidence columns at NOR positions too
+        missing = [g for g in nor_pos if g not in col_map]
+        if missing:
+            mcols, _ = dev.fetch_columns(np.array(missing, dtype=np.int64),
+                                         np.zeros(1, np.int64))
+            for i, g in enumerate(missing):
+                col_map[g] = mcols[i]
 
     out.sort(key=lambda v: (v.gPos, v.VarType))
     return block_depth, sparse, out

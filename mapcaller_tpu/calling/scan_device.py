@@ -151,3 +151,40 @@ class SparseProfile:
     def region_cov_sum(self, beg: int, end: int) -> int:
         """sum(cov[beg:end+1]) from device prefix sums."""
         return self._cov_prefix[end + 1] - self._cov_prefix[beg]
+
+
+NOR_SEG_TIERS = (1 << 12, 1 << 15, 1 << 18, 1 << 21)
+
+
+@functools.lru_cache(maxsize=None)
+def build_nor_kernel(L: int, NSEG: int):
+    """gVCF NOR-block reduction on device (ref: VariantCalling.cpp:
+    652-661 via the RLE formulation of caller._identify_variants_gvcf_vec):
+    normal positions (covered, no record emitted there) group by
+    key[p] = #record-appending positions <= p; per group the record is
+    (first normal position, cov at it, min cov over the group).
+
+    Inputs: cov [L]; emitted positions (sparse, padded, -1 pad) whose
+    own position is excluded from 'normal'; brk positions (sparse,
+    padded: every record-appending position incl. run flushes).
+    Outputs per segment: (first_pos or -1, min_cov)."""
+
+    def kernel(cov, emitted, n_emitted, brk_sorted, n_brk):
+        pos = jnp.arange(L, dtype=jnp.int32)
+        em_mask = jnp.zeros(L + 1, bool).at[
+            jnp.where(jnp.arange(emitted.shape[0]) < n_emitted,
+                      jnp.clip(emitted, 0, L - 1), L)].set(
+            True, mode="drop")[:L]
+        normal = (cov > 0) & ~em_mask
+        # key[p] = # brk positions <= p  (brk_sorted padded with L+1)
+        key = jnp.searchsorted(brk_sorted, pos, side="right").astype(jnp.int32)
+        seg = jnp.where(normal, jnp.minimum(key, NSEG - 1), NSEG - 1)
+        BIG = jnp.int32(0x7FFFFFFF)
+        first = jax.ops.segment_min(jnp.where(normal, pos, BIG), seg,
+                                    num_segments=NSEG)
+        mincov = jax.ops.segment_min(jnp.where(normal, cov, BIG), seg,
+                                     num_segments=NSEG)
+        covf = cov[jnp.clip(first, 0, L - 1)]   # DP = cov at block start
+        return first, mincov, covf
+
+    return jax.jit(kernel)

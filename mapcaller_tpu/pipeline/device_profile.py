@@ -302,6 +302,24 @@ class DeviceEvidence:
                           jnp.asarray(prefix_pts.astype(np.int32)))
         return np.asarray(cols), np.asarray(pref)
 
+    def nor_blocks(self, emitted: np.ndarray, brk: np.ndarray):
+        """gVCF NOR-block reduction on the device planes: returns
+        (first_pos, min_cov, cov_at_first) per block key. emitted =
+        positions whose own record excludes them from 'normal'; brk =
+        every record-appending position (sorted)."""
+        from ..calling.scan_device import NOR_SEG_TIERS, build_nor_kernel
+        acgt, F, multi, cov, cov_prefix = self.finalize()
+        NSEG = next(t for t in NOR_SEG_TIERS if t > brk.size + 1)
+        kern = build_nor_kernel(self.L, NSEG)
+        em = np.full(max(emitted.size, 1), -1, dtype=np.int32)
+        em[:emitted.size] = emitted
+        bk = np.full(max(brk.size, 1), self.L, dtype=np.int32)
+        bk[:brk.size] = np.sort(brk)
+        first, mincov, covf = kern(cov, jnp.asarray(em),
+                                   jnp.int32(emitted.size),
+                                   jnp.asarray(bk), jnp.int32(brk.size))
+        return np.asarray(first), np.asarray(mincov), np.asarray(covf)
+
     def download_raw_into(self, profile) -> None:
         """Add the device planes' raw (unfolded, uncapped) contributions
         into the host profile's diff arrays — for merge_engines and the

@@ -296,8 +296,7 @@ class MappingEngine:
         """Post-mapping statistics (ref: ReadMapping.cpp:627-643,767-790)."""
         cfg = self.cfg
         if self.device_evidence is not None and (
-                cfg.gvcf or cfg.monomorphic or cfg.obs_pos >= 0
-                or cfg.obr_beg >= 0):
+                cfg.monomorphic or cfg.obs_pos >= 0 or cfg.obr_beg >= 0):
             # modes whose record emission walks dense planes: download
             # them into the host profile and take the legacy path
             self.device_evidence.download_into(self.profile)
