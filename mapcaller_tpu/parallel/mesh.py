@@ -174,16 +174,86 @@ def build_multichip_pipeline(fm, chain_ctx: ChainCtx, max_len: int,
 
         # slow reads' hits go back to the host pipeline (per shard)
         slow_keep = keep & (cls[jnp.clip(hit_read, 0, B - 1)] == CLASS_SLOW)
-        return (cls, pd0, mm, mmp, hit_read, hit_rpos, hit_len, hit_loc,
-                slow_keep, exact, fd.reshape(4, L + 2), acgt.reshape(4, L + 1),
-                cov_shard)
+        return (cls, pd0, mm, rplast, cscore, mmp, hit_read, hit_rpos,
+                hit_len, hit_loc, slow_keep, exact, fd.reshape(4, L + 2),
+                acgt.reshape(4, L + 1), cov_shard)
 
     fn = jax.jit(
         jax.shard_map(device_fn, mesh=mesh,
                       in_specs=(P("dp", None), P("dp")),
-                      out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None),
+                      out_specs=(P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P("dp", None),
                                  P("dp"), P("dp"), P("dp"), P("dp"),
                                  P("dp"), P(), P(), P(), P("dp"))))
+    return fn
+
+
+def build_multichip_evidence(chain_ctx: ChainCtx, per_device_batch: int,
+                             n_devices: int, mesh: Mesh, pair_end: bool,
+                             mm_slots: int = 4):
+    """Phase-B evidence over the mesh, mirroring production: the host
+    decides admission (unique-mapped + dup gate, pipeline semantics) and
+    sends back a bitmask; the device builds fast-read evidence partials
+    from its resident chain outputs and psums them over ICI.
+
+    jit fn(pd [BG], mmp [BG, mm_slots], rlens [BG], fast_bits
+    [BG/32 words per shard -> n*ceil(B/32)]) ->
+    (exact_diff [L+2], f_diff [4, L+2], acgt [4, L+1]) replicated."""
+    two_l = chain_ctx.seq_len
+    L = two_l // 2
+    B = per_device_batch
+
+    def device_fn(pd0, mmp, rlens, fbits):
+        pd0, mmp, rlens, fbits = pd0, mmp, rlens, fbits[0]
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        adm = ((fbits[bidx >> 5] >> (bidx & 31)) & 1) == 1
+        ori = pd0 < L
+        g_start = jnp.clip(jnp.where(ori, pd0, two_l - pd0 - rlens), 0, L - 1)
+        end = jnp.minimum(g_start + rlens, L)
+        exact = jnp.zeros(L + 2, jnp.int32)
+        dumpE = jnp.int32(L + 1)
+        exact = exact.at[jnp.where(adm, g_start, dumpE)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        exact = exact.at[jnp.where(adm, end, dumpE)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+        if pair_end:
+            b_first = (bidx & 1) == 0
+        else:
+            b_first = jnp.ones(B, bool)
+        fpl = jnp.where(b_first, jnp.where(ori, 0, 3),
+                        jnp.where(ori, 1, 2)).astype(jnp.int32)
+        fd = jnp.zeros(4 * (L + 2), jnp.int32)
+        dumpF = jnp.int32(4 * (L + 2) - 1)
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + g_start, dumpF)].add(
+            jnp.where(adm, 1, 0), mode="drop")
+        fd = fd.at[jnp.where(adm, fpl * (L + 2) + end, dumpF)].add(
+            jnp.where(adm, -1, 0), mode="drop")
+        acgt = jnp.zeros(4 * (L + 1), jnp.int32)
+        dumpA = jnp.int32(4 * (L + 1) - 1)
+        for k in range(mmp.shape[1]):
+            e = mmp[:, k]
+            on = adm & (e >= 0)
+            r = e >> 2
+            base = e & 3
+            p = jnp.clip(jnp.where(ori, pd0 + r, two_l - 1 - (pd0 + r)),
+                         0, L - 1)
+            exact = exact.at[jnp.where(on, p, dumpE)].add(
+                jnp.where(on, -1, 0), mode="drop")
+            exact = exact.at[jnp.where(on, p + 1, dumpE)].add(
+                jnp.where(on, 1, 0), mode="drop")
+            pb = jnp.where(ori, base, 3 - base)
+            acgt = acgt.at[jnp.where(on, pb * (L + 1) + p, dumpA)].add(
+                jnp.where(on, 1, 0), mode="drop")
+        exact = jax.lax.psum(exact, "dp")
+        fd = jax.lax.psum(fd, "dp")
+        acgt = jax.lax.psum(acgt, "dp")
+        return exact, fd.reshape(4, L + 2), acgt.reshape(4, L + 1)
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp"), P("dp", None), P("dp"),
+                                P("dp", None)),
+                      out_specs=(P(), P(), P())))
     return fn
 
 

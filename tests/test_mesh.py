@@ -55,7 +55,9 @@ def test_multichip_pipeline_bit_identical():
     """The full production pipeline over an 8-device mesh produces a
     variant set bit-identical to the single-device run (VERDICT round-1
     item 4): device mismatch evidence, host slow path (DEL), and
-    gap/CNV runs crossing the genome-shard seams."""
+    gap/CNV runs crossing the genome-shard seams. Includes the
+    paired-end phase: per-shard C++ host pipeline in ops mode with the
+    admit-bitmask round trip into the phase-B mesh evidence kernel."""
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
