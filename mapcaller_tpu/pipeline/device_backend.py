@@ -188,8 +188,10 @@ class DeviceBackend:
         packed_dev = jnp.asarray(packed)
         rl_dev = jnp.asarray(rl)
         dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
-        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens,
-                pd_dev, mmp_dev, rl_dev)
+        # mutable: a tier rerun in collect_chain swaps in the larger
+        # kernel's outputs so the evidence kernel never sees stale pd/mmp
+        return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                pd_dev, mmp_dev, rl_dev]
 
     def submit_chain_sliced(self, packed_dev, rl_dev, rlens: np.ndarray,
                             bucket: int, tier: int = 2):
@@ -200,8 +202,8 @@ class DeviceBackend:
         kernel = self._chain_kernel_for(bucket, tier,
                                         batch=int(packed_dev.shape[0]))
         dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
-        return (kernel, dev, rlens < 0, packed_dev, bucket, rlens,
-                pd_dev, mmp_dev, rl_dev)
+        return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                pd_dev, mmp_dev, rl_dev]
 
     def collect_chain(self, token, n: int, read_codes_fn):
         """-> (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen).
@@ -217,9 +219,14 @@ class DeviceBackend:
             self.n_tier_reruns += 1
             kernel2 = self._chain_kernel_for(bucket, tier=18,
                                              batch=len(rlens))
-            dev2, _, _ = kernel2(packed_dev, jnp.asarray(np.maximum(rlens, 0)))
+            dev2, pd2, mmp2 = kernel2(packed_dev,
+                                      jnp.asarray(np.maximum(rlens, 0)))
             (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
              overflow, buf_ovf) = kernel2.collect(dev2)
+            # refresh the token: downstream evidence (apply_batch) must
+            # use the SAME classification outputs the host admits from
+            token[0], token[1] = kernel2, dev2
+            token[6], token[7] = pd2, mmp2
             if buf_ovf:   # pathological: host oracle for everything
                 self.n_full_fallbacks += 1
                 cls = np.full(n, CLASS_SLOW, dtype=np.int32)
