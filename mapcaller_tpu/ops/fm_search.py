@@ -335,7 +335,8 @@ def build_seed_kernel_packed(fm_template, max_len: int,
 
 
 def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
-                            slow_hits_x4: int = 5):
+                            slow_hits_x4: int = 5, with_planes: bool = False,
+                            pair_end: bool = False):
     """Seeding + device chaining/classification in one jitted graph
     (see ops/chain_device.py). Output int32 vector:
 
@@ -346,8 +347,18 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
        ovfbits[B/32], total_slow_kept, buffer_overflow]
 
     Fast/nocand reads transfer 8 bytes instead of their hits, and the
-    host skips chaining + alignment for them entirely."""
-    from .chain_device import CLASS_SLOW, ChainCtx, classify_reads
+    host skips chaining + alignment for them entirely.
+
+    with_planes=True folds the evidence apply into this dispatch: the
+    kernel takes the HBM evidence planes (donated) and speculatively
+    scatters every device-classified FAST read's evidence — the host
+    later retracts the few it rejects (duplicate gate, oracle splices)
+    via device_profile.build_correct_kernel. XLA fuses the scatter with
+    the classification pass, removing the separate apply dispatch and
+    its re-read of pd/mmp from HBM; pair_end picks the orientation
+    plane by batch-index parity (mates interleave even/odd)."""
+    from .chain_device import CLASS_FAST, CLASS_SLOW, ChainCtx, classify_reads
+    from .evidence import scatter_fast_evidence
     from .fm3_device import DeviceFM3
     assert batch % 32 == 0 and max_len <= 511
     max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
@@ -355,7 +366,8 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
     H2 = batch * slow_hits_x4 // 4          # compacted slow-hit capacity
     use_occ3 = isinstance(fm_template, DeviceFM3)
 
-    def kernel(fm, ctx: ChainCtx, packed: jnp.ndarray, rlens: jnp.ndarray):
+    def kernel(fm, ctx: ChainCtx, packed: jnp.ndarray, rlens: jnp.ndarray,
+               planes=None):
         B = batch
         W4 = packed.shape[1]
         nwords = (W4 + 3) // 4
@@ -470,17 +482,51 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
         ])
         # pd/mmp stay device-resident for the evidence kernel
         # (pipeline/device_profile.py); only packed_out is downloaded
-        return packed_out, pd0, mmp
+        if not with_planes:
+            return packed_out, pd0, mmp
 
-    jitted = jax.jit(kernel)
+        # folded speculative evidence apply (see docstring)
+        two_l = ctx.seq_len
+        L = two_l // 2
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        if pair_end:
+            b_first = (bidx & 1) == 0
+        else:
+            b_first = jnp.ones(B, bool)
+        exact, fd, acgt = scatter_fast_evidence(
+            planes.exact_diff, planes.f_diff.reshape(-1),
+            planes.acgt.reshape(-1), cls == CLASS_FAST, pd0, mmp, rlens,
+            b_first, L, two_l, sign=1)
+        from ..pipeline.device_profile import DevicePlanes
+        planes_out = DevicePlanes(acgt=acgt.reshape(4, L + 1),
+                                  exact_diff=exact,
+                                  f_diff=fd.reshape(4, L + 2),
+                                  multi_diff=planes.multi_diff, L=L)
+        return packed_out, pd0, mmp, planes_out
 
-    def submit(packed, rlens):
-        dev, pd_dev, mmp_dev = jitted(fm_template, chain_ctx, packed, rlens)
-        try:
-            dev.copy_to_host_async()
-        except Exception:
-            pass
-        return dev, pd_dev, mmp_dev
+    if with_planes:
+        jitted = jax.jit(kernel, donate_argnums=(4,))
+
+        def submit(packed, rlens, planes):
+            dev, pd_dev, mmp_dev, planes_out = jitted(
+                fm_template, chain_ctx, packed, rlens, planes)
+            try:
+                dev.copy_to_host_async()
+            except Exception:
+                pass
+            return dev, pd_dev, mmp_dev, planes_out
+
+    else:
+        jitted = jax.jit(kernel)
+
+        def submit(packed, rlens):
+            dev, pd_dev, mmp_dev = jitted(fm_template, chain_ctx, packed,
+                                          rlens)
+            try:
+                dev.copy_to_host_async()
+            except Exception:
+                pass
+            return dev, pd_dev, mmp_dev
 
     def collect(dev_packed):
         p = np.asarray(dev_packed)
@@ -514,6 +560,7 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
     submit.collect = collect
     submit.H2 = H2
     submit.raw_kernel = kernel
+    submit.with_planes = with_planes
     return submit
 
 

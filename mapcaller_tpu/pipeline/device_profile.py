@@ -64,58 +64,66 @@ class DevicePlanes:
 
 
 @functools.lru_cache(maxsize=None)
-def build_apply_kernel(L: int, two_l: int, B: int, pair_end: bool):
-    """jit fn(planes, pd[B], mmp[B,8], rlens[B], fast_bits[B/32])
-    -> planes. Applies the admitted FAST reads' evidence: coverage +
-    orientation range endpoints, mismatch holes, read-base point adds
-    (ref semantics: AlignmentProfile.cpp:41-119 via the diff design)."""
+def build_apply_kernel(L: int, two_l: int, B: int, pair_end: bool,
+                       source: str = "bits", sign: int = 1):
+    """jit fn(planes, pd[B], mmp[B,8], rlens[B], sel) -> planes.
+    Applies (sign=+1) or retracts (sign=-1) FAST reads' evidence:
+    coverage + orientation range endpoints, mismatch holes, read-base
+    point adds (ref semantics: AlignmentProfile.cpp:41-119 via the diff
+    design). source='bits': sel is the host admit bitmask [B/32];
+    source='meta': sel is the chain kernel's packed output buffer and
+    the admitted set is every device-classified FAST read (speculative
+    fold — corrected later via build_correct_kernel)."""
+    from ..ops.chain_device import CLASS_FAST
+    from ..ops.evidence import scatter_fast_evidence
 
-    def kernel(planes: DevicePlanes, pd, mmp, rlens, fast_bits):
+    def kernel(planes: DevicePlanes, pd, mmp, rlens, sel):
         bidx = jnp.arange(B, dtype=jnp.int32)
-        adm = ((fast_bits[bidx >> 5] >> (bidx & 31)) & 1) == 1
-        ori = pd < L
-        g_start = jnp.where(ori, pd, two_l - pd - rlens)
-        g_start = jnp.clip(g_start, 0, L - 1)
-        end = jnp.minimum(g_start + rlens, L)
-
-        exact = planes.exact_diff
-        dumpE = jnp.int32(L + 1)
-        exact = exact.at[jnp.where(adm, g_start, dumpE)].add(
-            jnp.where(adm, 1, 0), mode="drop")
-        exact = exact.at[jnp.where(adm, end, dumpE)].add(
-            jnp.where(adm, -1, 0), mode="drop")
+        if source == "meta":
+            adm = (sel[:B] & 3) == CLASS_FAST
+        else:
+            adm = ((sel[bidx >> 5] >> (bidx & 31)) & 1) == 1
         if pair_end:
             b_first = (bidx & 1) == 0
         else:
             b_first = jnp.ones(B, bool)
-        fpl = jnp.where(b_first, jnp.where(ori, 0, 3),
-                        jnp.where(ori, 1, 2)).astype(jnp.int32)
-        fd = planes.f_diff.reshape(-1)
-        dumpF = jnp.int32(4 * (L + 2) - 1)
-        fd = fd.at[jnp.where(adm, fpl * (L + 2) + g_start, dumpF)].add(
-            jnp.where(adm, 1, 0), mode="drop")
-        fd = fd.at[jnp.where(adm, fpl * (L + 2) + end, dumpF)].add(
-            jnp.where(adm, -1, 0), mode="drop")
+        exact, fd, acgt = scatter_fast_evidence(
+            planes.exact_diff, planes.f_diff.reshape(-1),
+            planes.acgt.reshape(-1), adm, pd, mmp, rlens, b_first,
+            L, two_l, sign)
+        return DevicePlanes(acgt=acgt.reshape(4, L + 1),
+                            exact_diff=exact,
+                            f_diff=fd.reshape(4, L + 2),
+                            multi_diff=planes.multi_diff, L=L)
 
-        # mismatch holes + read-base point adds: mmp packs (r << 2 | base),
-        # -1 = empty slot (ops/chain_device.classify_reads)
-        acgt = planes.acgt.reshape(-1)
-        dumpA = jnp.int32(4 * (L + 1) - 1)
-        for k in range(mmp.shape[1]):
-            e = mmp[:, k]
-            on = adm & (e >= 0)
-            r = e >> 2
-            base = e & 3
-            p = jnp.where(ori, pd + r, two_l - 1 - (pd + r))
-            p = jnp.clip(p, 0, L - 1)
-            exact = exact.at[jnp.where(on, p, dumpE)].add(
-                jnp.where(on, -1, 0), mode="drop")
-            exact = exact.at[jnp.where(on, p + 1, dumpE)].add(
-                jnp.where(on, 1, 0), mode="drop")
-            pb = jnp.where(ori, base, 3 - base)
-            acgt = acgt.at[jnp.where(on, pb * (L + 1) + p, dumpA)].add(
-                jnp.where(on, 1, 0), mode="drop")
+    return jax.jit(kernel, donate_argnums=(0,))
 
+
+@functools.lru_cache(maxsize=None)
+def build_correct_kernel(L: int, two_l: int, B: int, pair_end: bool,
+                         R: int):
+    """jit fn(planes, pd[B], mmp[B,8], rlens[B], rej_idx[R]) -> planes.
+    Sparse retraction for the folded/speculative apply: rej_idx holds
+    read indices whose speculative evidence must be subtracted (host
+    dup-gate rejects, splice-forced slow reads); pad with B. Gathers the
+    R rejected lanes from the device-resident chain outputs and
+    scatter-subtracts their contributions — O(R), not O(B)."""
+    from ..ops.evidence import scatter_fast_evidence
+
+    def kernel(planes: DevicePlanes, pd, mmp, rlens, rej_idx):
+        on = rej_idx < B
+        ix = jnp.minimum(rej_idx, B - 1)
+        pd_r = pd[ix]
+        mmp_r = mmp[ix]
+        rl_r = rlens[ix]
+        if pair_end:
+            b_first = (ix & 1) == 0
+        else:
+            b_first = jnp.ones(R, bool)
+        exact, fd, acgt = scatter_fast_evidence(
+            planes.exact_diff, planes.f_diff.reshape(-1),
+            planes.acgt.reshape(-1), on, pd_r, mmp_r, rl_r, b_first,
+            L, two_l, sign=-1)
         return DevicePlanes(acgt=acgt.reshape(4, L + 1),
                             exact_diff=exact,
                             f_diff=fd.reshape(4, L + 2),
