@@ -63,6 +63,8 @@ def main():
     idx = load_index(f"{BENCH_DIR}/mci")
     cfg = Config(vcf_file=f"{BENCH_DIR}/out.vcf", log_file=f"{BENCH_DIR}/job.log",
                  batch_size=8192, max_read_len=128)
+    if os.environ.get("MC_FOLD_EVIDENCE"):
+        cfg.fold_evidence = os.environ["MC_FOLD_EVIDENCE"] == "1"
     engine = make_engine(idx, cfg)
     assert engine.backend is not None and engine.native is not None
 

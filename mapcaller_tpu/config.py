@@ -58,6 +58,9 @@ class Config:
     batch_size: int = 8192                      # reads per device batch
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
     device_chain: bool = True                   # device chaining/classification
+    fold_evidence: bool = False                 # evidence apply inside the
+                                                # chain dispatch (speculative,
+                                                # sparse host-reject correction)
     stream_pipeline_depth: int = 2              # device batches in flight
     device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
     prefix_skip_k: int = 0                      # seed-start skip table depth (0=off: lockstep max-lane length eats the gain; see ROADMAP)

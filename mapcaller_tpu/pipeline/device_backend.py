@@ -164,14 +164,17 @@ class DeviceBackend:
 
     # -- seeding + device chaining/classification (production path) ------
     def _chain_kernel_for(self, bucket: int, tier: int = 2,
-                          batch: Optional[int] = None):
+                          batch: Optional[int] = None,
+                          with_planes: bool = False,
+                          pair_end: bool = False):
         B = batch or self.batch
-        key = ("chain", bucket, tier, B)
+        key = ("chain", bucket, tier, B, with_planes, pair_end)
         if key not in self._kernels:
             from ..ops.fm_search import build_seed_chain_kernel
             fm = self.fm3 if self._fm3_ok else self.fm
             self._kernels[key] = build_seed_chain_kernel(
-                fm, self.chain_ctx, bucket, B, slow_hits_x4=tier)
+                fm, self.chain_ctx, bucket, B, slow_hits_x4=tier,
+                with_planes=with_planes, pair_end=pair_end)
         return self._kernels[key]
 
     @property
@@ -182,14 +185,26 @@ class DeviceBackend:
         return self._chain_ctx
 
     def submit_chain(self, packed: np.ndarray, rlens: np.ndarray,
-                     bucket: int, tier: int = 2):
-        kernel = self._chain_kernel_for(bucket, tier, batch=packed.shape[0])
+                     bucket: int, tier: int = 2, evidence=None,
+                     pair_end: bool = False):
+        """evidence (a DeviceEvidence) folds the speculative fast-read
+        evidence apply into this dispatch; the caller must later run
+        evidence.reconcile_batch(token, fast_bits, pair_end)."""
         rl = np.maximum(rlens, 0)
         packed_dev = jnp.asarray(packed)
         rl_dev = jnp.asarray(rl)
-        dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
         # mutable: a tier rerun in collect_chain swaps in the larger
         # kernel's outputs so the evidence kernel never sees stale pd/mmp
+        if evidence is not None:
+            kernel = self._chain_kernel_for(
+                bucket, tier, batch=packed.shape[0], with_planes=True,
+                pair_end=pair_end)
+            dev, pd_dev, mmp_dev, evidence.planes = kernel(
+                packed_dev, rl_dev, evidence.planes)
+            return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                    pd_dev, mmp_dev, rl_dev, (dev, pd_dev, mmp_dev)]
+        kernel = self._chain_kernel_for(bucket, tier, batch=packed.shape[0])
+        dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
         return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
                 pd_dev, mmp_dev, rl_dev]
 

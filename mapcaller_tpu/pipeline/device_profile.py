@@ -221,6 +221,50 @@ class DeviceEvidence:
         self.planes = kern(self.planes, pd_dev, mmp_dev, rl_dev,
                            jnp.asarray(fb))
 
+    CORRECT_CAP = 1024
+
+    def reconcile_batch(self, token, fast_bits: np.ndarray,
+                        pair_end: bool) -> None:
+        """Post-host step for a batch. Classic tokens (no fold) run the
+        stand-alone apply. Folded tokens (submit_chain(evidence=...))
+        already hold the speculative apply of every device-FAST read;
+        here the host's rejects (dup-gate losers, oracle-spliced reads)
+        are retracted sparsely — the common no-reject batch costs no
+        device work at all. A tier rerun (token[1] swapped by
+        collect_chain) densely undoes the stale speculation and falls
+        back to the classic apply with the rerun's outputs."""
+        if len(token) <= 9:
+            return self.apply_batch(token, fast_bits, pair_end)
+        from ..ops.chain_device import CLASS_FAST
+        dev0, pd0, mmp0 = token[9]
+        rl_dev = token[8]
+        B = int(rl_dev.shape[0])
+        pe = bool(pair_end)
+        if token[1] is not dev0:   # tier rerun invalidated the speculation
+            undo = build_apply_kernel(self.L, self.two_l, B, pe,
+                                      source="meta", sign=-1)
+            self.planes = undo(self.planes, pd0, mmp0, rl_dev, dev0)
+            return self.apply_batch(token, fast_bits, pair_end)
+        meta = np.asarray(dev0)[:B]
+        fast_ix = np.nonzero((meta & 3) == CLASS_FAST)[0]
+        fb = np.zeros((B + 31) // 32, dtype=np.uint32)
+        fb[:fast_bits.size] = fast_bits.view(np.uint32)
+        admitted = ((fb[fast_ix >> 5] >> (fast_ix & 31)) & 1) == 1
+        rej = fast_ix[~admitted].astype(np.int32)
+        if rej.size == 0:
+            return
+        if rej.size > self.CORRECT_CAP:   # pathological: redo densely
+            undo = build_apply_kernel(self.L, self.two_l, B, pe,
+                                      source="meta", sign=-1)
+            self.planes = undo(self.planes, pd0, mmp0, rl_dev, dev0)
+            return self.apply_batch(token, fast_bits, pair_end)
+        R = self.CORRECT_CAP
+        rej_pad = np.full(R, B, dtype=np.int32)
+        rej_pad[:rej.size] = rej
+        kern = build_correct_kernel(self.L, self.two_l, B, pe, R)
+        self.planes = kern(self.planes, token[6], token[7], rl_dev,
+                           jnp.asarray(rej_pad))
+
     # ------------------------------------------------------------------
     def _ref_codes_dev(self):
         """Forward-genome codes [L] derived from the device text words."""

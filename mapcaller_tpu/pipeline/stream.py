@@ -42,6 +42,9 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         from .device_profile import DeviceEvidence
         engine.device_evidence = DeviceEvidence(be, cfg, engine.profile)
         native.set_ops_mode(True)
+    fold_ev = (engine.device_evidence
+               if use_device_evidence and getattr(cfg, "fold_evidence", False)
+               else None)
     stats_io = np.zeros(6, dtype=np.int64)
     stats_io[5] = engine.stats.avg_dist
 
@@ -73,7 +76,9 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 bucket = next((b for b in be.BUCKETS
                                if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
                 packed, rlens = native.batch_codes_packed(slot, bucket, sb)
-                token = (be.submit_chain(packed, rlens, bucket) if use_chain
+                token = (be.submit_chain(packed, rlens, bucket,
+                                         evidence=fold_ev, pair_end=pair_end)
+                         if use_chain
                          else be.submit_packed(packed, rlens, bucket))
                 pending.append((slot, n, token))
                 slot = (slot + 1) & 15
@@ -94,8 +99,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                         counts, rp, gp, ln, stats_io)
                 if engine.device_evidence is not None:
                     fbits = native.fetch_fast_bits()
-                    engine.device_evidence.apply_batch(ptoken, fbits,
-                                                       pair_end)
+                    engine.device_evidence.reconcile_batch(ptoken, fbits,
+                                                           pair_end)
             else:
                 counts, rp, gp, ln = be.collect_packed(
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))

@@ -87,3 +87,76 @@ def test_folded_apply_bit_identical(setup, pair_end):
                       jnp.asarray(bits))
     for a, b in zip(_planes_np(want2), _planes_np(got2)):
         assert np.array_equal(a, b)
+
+
+def _stream_run(idx, cfg, f1, f2=None):
+    import time
+
+    from mapcaller_tpu.pipeline.device_backend import DeviceBackend
+    from mapcaller_tpu.pipeline.engine import MappingEngine
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    from mapcaller_tpu.runner import run_calling
+    backend = DeviceBackend(idx, cfg)
+    engine = MappingEngine(idx, cfg, backend=backend)
+    cfg.read_files1, cfg.read_files2 = [f1], ([f2] if f2 else [])
+    parts = []
+    run_stream_mapping(engine, cfg, time.time(), parts.append)
+    engine.finalize()
+    run_calling(engine, cfg, "t")
+    vcf = [l for l in open(cfg.vcf_file) if not l.startswith("##")]
+    return "".join(parts), vcf, backend
+
+
+def test_fold_stream_parity_pe(tmp_path, toy_fasta):
+    """fold_evidence=True must leave the full paired-end stream output
+    bit-identical: speculative apply + sparse dup-gate retraction."""
+    import os
+
+    from mapcaller_tpu.config import Config
+    idx = build_index(toy_fasta)
+    data = os.path.join(os.path.dirname(__file__), "data", "subset")
+    outs = []
+    for fold in (False, True):
+        cfg = Config(sam_file="x", vcf_file=str(tmp_path / f"{fold}.vcf"),
+                     log_file=str(tmp_path / f"{fold}.log"),
+                     fold_evidence=fold)
+        outs.append(_stream_run(idx, cfg,
+                                os.path.join(data, "sub_r1.fq.gz"),
+                                os.path.join(data, "sub_r2.fq.gz")))
+    assert outs[0][0] == outs[1][0]
+    assert outs[0][1] == outs[1][1] and len(outs[0][1]) > 50
+
+
+def test_fold_tier_rerun_undo(tmp_path):
+    """When a hit-buffer rerun invalidates the folded speculation, the
+    dense undo + classic apply must restore bit-exact evidence."""
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.dna import decode
+    rng = np.random.default_rng(33)
+    unit = rng.integers(0, 4, 500).astype(np.uint8)
+    genome = np.concatenate([rng.integers(0, 4, 4000).astype(np.uint8),
+                             unit, unit, unit,
+                             rng.integers(0, 4, 4000).astype(np.uint8)])
+    idx = build_index(None, packed=PackedReference(
+        ["chr1"], [len(genome)], [0], genome, []))
+    fq = tmp_path / "m.fq"
+    with open(fq, "w") as f:
+        for k in range(1024):
+            if k % 2 == 0:
+                p = int(rng.integers(4000, 4000 + 3 * 500 - 100))
+            else:
+                p = int(rng.integers(0, len(genome) - 100))
+            c = genome[p:p + 100].copy()
+            if k % 11 == 5:
+                c[50] = (c[50] + 1) % 4
+            f.write(f"@m{k}\n{decode(c)}\n+\n{'I' * 100}\n")
+    outs = []
+    for fold in (False, True):
+        cfg = Config(sam_file="x", vcf_file=str(tmp_path / f"r{fold}.vcf"),
+                     log_file=str(tmp_path / f"r{fold}.log"),
+                     batch_size=1024, stream_batch_size=1024,
+                     max_read_len=256, fold_evidence=fold)
+        outs.append(_stream_run(idx, cfg, str(fq)))
+    assert outs[1][2].n_tier_reruns > 0, "fixture must exercise the undo"
+    assert outs[0][0] == outs[1][0]
+    assert outs[0][1] == outs[1][1]
