@@ -65,6 +65,8 @@ def main():
                  batch_size=8192, max_read_len=128)
     if os.environ.get("MC_FOLD_EVIDENCE"):
         cfg.fold_evidence = os.environ["MC_FOLD_EVIDENCE"] == "1"
+    if os.environ.get("MC_STREAM_BATCH"):
+        cfg.stream_batch_size = int(os.environ["MC_STREAM_BATCH"])
     engine = make_engine(idx, cfg)
     assert engine.backend is not None and engine.native is not None
 
