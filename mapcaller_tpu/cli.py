@@ -133,6 +133,9 @@ def parse_args(argv: List[str]) -> Optional[Config]:
             cfg.unique_only = False
         elif p == "-backend" and i + 1 < n:
             cfg.backend = nxt()
+        elif p == "-shards" and i + 1 < n:
+            # genome-shard the occ3 index over N devices (human scale)
+            cfg.index_shards = int(nxt())
         elif p in ("-v", "--version"):
             sys.stderr.write(f"MapCaller v{VERSION_STR}\n\n")
             return None

@@ -58,6 +58,9 @@ class Config:
     batch_size: int = 8192                      # reads per device batch
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
     device_chain: bool = True                   # device chaining/classification
+    index_shards: int = 0                       # >1: genome-shard the occ3
+                                                # table over an N-device mesh
+                                                # (human-scale index path)
     fold_evidence: bool = False                 # evidence apply inside the
                                                 # chain dispatch (speculative,
                                                 # sparse host-reject correction)

@@ -244,3 +244,113 @@ def build_sharded_sa_resolve(fm, mesh: Mesh, n_devices: int, B: int,
                                 P("dp"), P("dp")),
                       out_specs=(P("dp"), P("dp"))))
     return fn
+
+
+def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
+                               n_devices: int, max_len: int,
+                               batch_global: int, tier: int = 2):
+    """The PRODUCTION chain stage (seed -> SA-resolve -> chain/classify,
+    ops/fm_search.build_seed_chain_kernel semantics) with the occ3 rows
+    genome-sharded over the mesh — the human-scale index path for the
+    real backend (pipeline/device_backend.py wires it behind
+    cfg.index_shards). The dominant HBM cost (the 96 B/base occ3 table)
+    drops to 1/n per chip; the 1-step occ words, sampled SA and text
+    words (~2.2 B/base combined) stay replicated here — sharding those
+    too is build_sharded_sa_resolve's routing applied at the same spot.
+
+    jit fn(occ_slices [n, rps, 72] sharded, packed [BG, max_len/4]
+    sharded, rlens [BG] sharded) ->
+      (cls, pd0, mm, rplast, cscore [BG], mmp [BG, S], overflow [BG],
+       hit_read(global), hit_rpos, hit_len, hit_loc, keep [n*Hd],
+       buf_ovf [n]) — hits are RAW per-shard segments; the backend
+    compacts slow reads' hits host-side (tunnel packing is the
+    single-chip kernel's optimization, not needed on pod hosts)."""
+    import dataclasses as dc
+
+    from ..ops.chain_device import CLASS_SLOW, classify_reads
+    from ..ops.fm_device import sa_resolve
+
+    BG = batch_global
+    assert BG % n_devices == 0
+    B = BG // n_devices
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = B * max(9, tier) // 4
+    fm3_stub = dc.replace(fm3, occ3_rows=jnp.zeros((0, 72), jnp.int32))
+    fm1 = fm3.fm
+
+    def device_fn(occ3_local, packed, rlens):
+        occ3_local = occ3_local[0]
+        sfm = ShardedFM3(fm3=fm3_stub, occ3_local=occ3_local,
+                         rows_per_shard=occ3_local.shape[0],
+                         n_shards=n_devices)
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh8 = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words_le = (pb << sh8).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words_le, 0).sum(axis=1,
+                                                       dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
+            sfm, codes_fn, rlens, B, max_len, max_seeds,
+            gather_fn=routed_gather3, sync_axis="dp")
+
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+        total_raw = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        within = hpos - jnp.repeat(csum, freqs, total_repeat_length=H)
+        hit_row = jnp.repeat(x0s, freqs, total_repeat_length=H) + within
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total_raw, H)
+        buf_ovf = (total_raw > H).astype(jnp.int32)
+
+        hit_loc, resolved = sa_resolve(fm1, jnp.where(hit_valid, hit_row, 32),
+                                       hit_valid)
+        unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
+            (hit_valid & ~resolved).astype(jnp.int32))
+        overflow = overflow | (unresolved_read > 0)
+        keep = hit_valid & ((hit_loc - hit_rpos) > 0)
+
+        pb2 = packed.astype(jnp.uint32)
+        crumb = jnp.stack([(pb2 >> jnp.uint32(q * 2)) & 3 for q in range(4)],
+                          axis=-1).reshape(B, W4 * 4)
+        cshift = jnp.asarray(((15 - (np.arange(max_len) & 15)) * 2)
+                             .astype(np.uint32))
+        cw = (crumb[:, :max_len] << cshift[None, :]).reshape(B, nwords, 16)
+        words_bwa = cw.sum(axis=2, dtype=jnp.uint32)
+        cls, pd0, mm, rplast, cscore, mmp = classify_reads(
+            chain_ctx, words_bwa, rlens, hit_read, hit_rpos, hit_len,
+            hit_loc, keep, max_len)
+        cls = jnp.where((overflow > 0) if overflow.dtype != jnp.bool_
+                        else overflow, CLASS_SLOW, cls)
+
+        keep_slow = keep & (cls[jnp.clip(hit_read, 0, B - 1)] == CLASS_SLOW)
+        my = jax.lax.axis_index("dp").astype(jnp.int32)
+        hit_read_g = hit_read + my * B
+        return (cls, pd0, mm, rplast, cscore, mmp,
+                overflow.astype(jnp.int32), hit_read_g, hit_rpos, hit_len,
+                hit_loc, keep_slow, buf_ovf[None])
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp", None, None), P("dp", None), P("dp")),
+                      out_specs=(P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P("dp", None), P("dp"),
+                                 P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P("dp"))))
+    return fn

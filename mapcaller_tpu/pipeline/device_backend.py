@@ -42,6 +42,18 @@ class DeviceBackend:
         # 3-step occ table: ~18 B/text-base of HBM; cap its use at 512 Mbp
         # of text (fwd+rc) so big genomes fall back to the 1-step kernel
         self._fm3_ok = idx.sa_full is not None and idx.seq_len < (1 << 29)
+        # genome-sharded occ3 over an N-device mesh (human-scale index):
+        # lifts the single-chip HBM cap by ~N (parallel/sharded_index.py)
+        self.index_shards = int(getattr(cfg, "index_shards", 0) or 0)
+        if self.index_shards > 1:
+            if len(jax.devices()) < self.index_shards:
+                raise ValueError(
+                    f"index_shards={self.index_shards} but only "
+                    f"{len(jax.devices())} devices visible")
+            # the sharded kernel is the occ3 path; lift the single-chip cap
+            self._fm3_ok = idx.sa_full is not None and (
+                idx.seq_len < self.index_shards * (1 << 29))
+        self._sharded = None
 
     @property
     def fm3(self):
@@ -184,12 +196,59 @@ class DeviceBackend:
             self._chain_ctx = ChainCtx.from_host(self.idx)
         return self._chain_ctx
 
+    def _sharded_setup(self):
+        if self._sharded is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded_index import shard_occ3_rows
+            n = self.index_shards
+            mesh = make_mesh(n)
+            slices, rps = shard_occ3_rows(self.fm3, n)
+            occ_dev = jax.device_put(
+                jnp.asarray(slices),
+                NamedSharding(mesh, P("dp", None, None)))
+            self._sharded = (mesh, occ_dev, rps)
+        return self._sharded
+
+    def _sharded_chain_for(self, bucket: int, tier: int, batch_global: int):
+        key = ("schain", bucket, tier, batch_global)
+        if key not in self._kernels:
+            self._kernels[key] = _ShardedChain(self, bucket, tier,
+                                               batch_global)
+        return self._kernels[key]
+
     def submit_chain(self, packed: np.ndarray, rlens: np.ndarray,
                      bucket: int, tier: int = 2, evidence=None,
                      pair_end: bool = False):
         """evidence (a DeviceEvidence) folds the speculative fast-read
         evidence apply into this dispatch; the caller must later run
-        evidence.reconcile_batch(token, fast_bits, pair_end)."""
+        evidence.reconcile_batch(token, fast_bits, pair_end).
+
+        With cfg.index_shards > 1 the chain stage runs genome-sharded
+        over the device mesh (occ3 rows split; routed gathers); the
+        token and collect contract are unchanged. The folded-evidence
+        path is single-chip only (the sharded kernel returns the same
+        pd/mmp for the classic apply)."""
+        if self.index_shards > 1:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = self.index_shards
+            B0 = packed.shape[0]
+            BG = -(-B0 // n) * n
+            packed_p = np.zeros((BG, packed.shape[1]), dtype=packed.dtype)
+            packed_p[:B0] = packed
+            rl_p = np.zeros(BG, dtype=np.int32)
+            rl_p[:B0] = np.maximum(rlens, 0)
+            mesh = self._sharded_setup()[0]
+            kernel = self._sharded_chain_for(bucket, tier, BG)
+            packed_dev = jax.device_put(jnp.asarray(packed_p),
+                                        NamedSharding(mesh, P("dp", None)))
+            rl_dev = jax.device_put(jnp.asarray(rl_p),
+                                    NamedSharding(mesh, P("dp")))
+            dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
+            return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
+                    pd_dev, mmp_dev, rl_dev]
         rl = np.maximum(rlens, 0)
         packed_dev = jnp.asarray(packed)
         rl_dev = jnp.asarray(rl)
@@ -232,8 +291,10 @@ class DeviceBackend:
          overflow, buf_ovf) = out
         if buf_ovf:
             self.n_tier_reruns += 1
-            kernel2 = self._chain_kernel_for(bucket, tier=18,
-                                             batch=len(rlens))
+            rb = getattr(kernel, "rerun_builder", None)
+            kernel2 = (rb(18) if rb is not None else
+                       self._chain_kernel_for(bucket, tier=18,
+                                              batch=len(rlens)))
             dev2, pd2, mmp2 = kernel2(packed_dev,
                                       jnp.asarray(np.maximum(rlens, 0)))
             (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen,
@@ -392,3 +453,53 @@ class DeviceBackend:
                 s, e = bounds[i], bounds[i + 1]
                 result.append((rp[s:e], gp[s:e], ln[s:e]))
         return result
+
+
+class _ShardedChain:
+    """Adapter giving the genome-sharded chain kernel
+    (parallel/sharded_index.build_sharded_chain_kernel) the same
+    __call__/collect/rerun contract as the single-chip kernel, so
+    collect_chain and the evidence path work unchanged. Slow-hit
+    compaction happens host-side here (the single-chip kernel's packed
+    layout is a tunnel optimization)."""
+
+    def __init__(self, be: DeviceBackend, bucket: int, tier: int,
+                 batch_global: int):
+        from ..parallel.sharded_index import build_sharded_chain_kernel
+        self.be = be
+        self.bucket = bucket
+        self.tier = tier
+        self.BG = batch_global
+        self.n = be.index_shards
+        self.mesh, self.occ_dev, _ = be._sharded_setup()
+        self.fn = build_sharded_chain_kernel(
+            be.fm3, be.chain_ctx, self.mesh, self.n, bucket, batch_global,
+            tier)
+
+    def __call__(self, packed_dev, rl_dev):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if int(rl_dev.shape[0]) != self.BG:       # rerun passes unpadded
+            rl_p = np.zeros(self.BG, dtype=np.int32)
+            rl_p[:int(rl_dev.shape[0])] = np.asarray(rl_dev)
+            rl_dev = jax.device_put(jnp.asarray(rl_p),
+                                    NamedSharding(self.mesh, P("dp")))
+        outs = self.fn(self.occ_dev, packed_dev, rl_dev)
+        return outs, outs[1], outs[5]
+
+    def rerun_builder(self, tier: int):
+        return self.be._sharded_chain_for(self.bucket, tier, self.BG)
+
+    def collect(self, outs):
+        (cls, pd0, mm, rplast, cscore, mmp, ovf, hit_read, hit_rpos,
+         hit_len, hit_loc, keep_slow, buf_ovf) = [np.asarray(x)
+                                                  for x in outs]
+        k = keep_slow.astype(bool)
+        counts = np.bincount(hit_read[k],
+                             minlength=self.BG)[:self.BG].astype(np.int32)
+        order = np.argsort(hit_read[k], kind="stable")
+        rpos = hit_rpos[k][order].astype(np.int32)
+        gpos = hit_loc[k][order].astype(np.int64)
+        slen = hit_len[k][order].astype(np.int32)
+        return (cls, pd0, mm, rplast, cscore, counts, rpos, gpos, slen,
+                ovf.astype(bool), bool(buf_ovf.any()))

@@ -190,3 +190,93 @@ def test_sharded_sa_resolve():
     for i, k in enumerate(ks):
         if res[i]:
             assert int(loc[i]) == idx.sa_lookup(int(k)), (i, k)
+
+
+def test_sharded_production_chain_parity():
+    """cfg.index_shards=8: the PRODUCTION backend's chain stage runs
+    with the occ3 table genome-sharded over the mesh (routed gathers) —
+    submit_chain/collect_chain outputs must be bit-identical to the
+    single-chip kernel (the human-scale index path in the real
+    backend, not just the dryrun)."""
+    import numpy as np
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.index.packer import PackedReference
+    from mapcaller_tpu.pipeline.device_backend import DeviceBackend
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=30000).astype(np.uint8)
+    codes[20000:20400] = codes[5000:5400]      # a repeat for slow hits
+    idx = build_index(None, packed=PackedReference(
+        ["chr1"], [len(codes)], [0], codes, []))
+    B, bucket = 256, 128
+    mat = np.zeros((B, bucket), np.uint8)
+    rlens = np.full(B, 100, np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, len(codes) - 100))
+        r = codes[p:p + 100].copy()
+        if i % 3 == 1:
+            r[33] = (r[33] + 1) % 4            # SNP -> fast w/ mismatch
+        if i % 9 == 4:
+            r = np.concatenate([r[:50], codes[p + 52:p + 102]])[:100]
+        mat[i, :100] = r
+    packed = np.zeros((B, bucket // 4), dtype=np.uint8)
+    for j in range(4):
+        packed |= (mat[:, j::4] & 3) << (2 * j)
+
+    outs = []
+    for shards in (0, 8):
+        cfg = Config(sam_file="x", vcf_file="v", log_file="l",
+                     index_shards=shards)
+        be = DeviceBackend(idx, cfg)
+        token = be.submit_chain(packed, rlens, bucket)
+        outs.append(be.collect_chain(token, B,
+                                     lambda i: mat[i, :100]))
+    for a, b, name in zip(outs[0], outs[1],
+                          ("cls", "pd", "mm", "rplast", "cscore", "counts",
+                           "rpos", "gpos", "slen")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    assert (np.asarray(outs[0][5]) > 0).any()  # slow hits present
+
+
+def test_sharded_backend_stream_golden(tmp_path, toy_fasta):
+    """Full production stream (CLI semantics) with index_shards=8:
+    paired-end subset must match the reference binary's golden SAM+VCF
+    through the genome-sharded index path, including the device
+    evidence planes fed from the sharded kernel's outputs."""
+    import os
+    import time
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.io.sam import sam_headers
+    from mapcaller_tpu.pipeline.device_backend import DeviceBackend
+    from mapcaller_tpu.pipeline.engine import MappingEngine
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    from mapcaller_tpu.runner import run_calling
+
+    idx = build_index(toy_fasta)
+    data = os.path.join(os.path.dirname(__file__), "data", "subset")
+    cfg = Config(sam_file="x", vcf_file=str(tmp_path / "s.vcf"),
+                 log_file=str(tmp_path / "s.log"), index_shards=8)
+    backend = DeviceBackend(idx, cfg)
+    engine = MappingEngine(idx, cfg, backend=backend)
+    cfg.read_files1 = [os.path.join(data, "sub_r1.fq.gz")]
+    cfg.read_files2 = [os.path.join(data, "sub_r2.fq.gz")]
+    parts = []
+    run_stream_mapping(engine, cfg, time.time(), parts.append)
+    engine.finalize()
+    run_calling(engine, cfg, "t")
+
+    import gzip
+    sam = sam_headers(engine.genome, "0.9.9.41")
+    sam.extend("".join(parts).splitlines())
+    want_sam = gzip.open(os.path.join(data, "sub_ref.sam.gz"),
+                         "rt").read().splitlines()
+    assert sorted(l for l in sam if not l.startswith("@")) == \
+        sorted(l for l in want_sam if not l.startswith("@"))
+    want_vcf = [l for l in open(os.path.join(data, "sub_ref.vcf"))
+                if not l.startswith("##")]
+    got_vcf = [l for l in open(cfg.vcf_file) if not l.startswith("##")]
+    assert got_vcf == want_vcf
