@@ -50,9 +50,14 @@ class DeviceBackend:
                 raise ValueError(
                     f"index_shards={self.index_shards} but only "
                     f"{len(jax.devices())} devices visible")
-            # the sharded kernel is the occ3 path; lift the single-chip cap
+            # the sharded kernel is the occ3 path; lift the single-chip
+            # HBM cap by ~N. Row indices/counts are int32 throughout
+            # (the occ3 row format stores int32 cumulative counts), so
+            # the text length stays capped at 2^31 until the int64 row
+            # redesign (PARITY.md "Known gaps").
             self._fm3_ok = idx.sa_full is not None and (
-                idx.seq_len < self.index_shards * (1 << 29))
+                idx.seq_len < min(self.index_shards * (1 << 29),
+                                  (1 << 31) - 2))
         self._sharded = None
 
     @property
