@@ -246,6 +246,44 @@ def build_sharded_sa_resolve(fm, mesh: Mesh, n_devices: int, B: int,
     return fn
 
 
+def routed_sa_walk(occ_local, sa_local, primary, L2, k, active,
+                   max_walk: int = 192):
+    """The sampled-SA inverse-Psi walk with occ rows + SA samples
+    sharded (the loop body of build_sharded_sa_resolve, reusable inside
+    other shard_mapped kernels). Bit-identical to the replicated walk:
+    same algorithm, same rows, fixed lockstep trip count."""
+    rps = occ_local.shape[0]
+    sps = sa_local.shape[0]
+
+    def routed_inv_psi(kk):
+        kadj = kk - (kk >= primary).astype(kk.dtype)
+        row = _routed_rows(occ_local, rps, kadj >> 4)
+        word = jax.lax.bitcast_convert_type(row[..., 4], jnp.uint32)
+        c = ((word >> (((~kadj & 0xF) << 1)).astype(jnp.uint32)) & 3
+             ).astype(jnp.int32)
+        base = jnp.take_along_axis(row[..., :4], c[..., None],
+                                   axis=-1)[..., 0]
+        crumb = (~kadj) & 0xF
+        keep = (~((jnp.uint32(1) << (2 * crumb).astype(jnp.uint32))
+                  - jnp.uint32(1))) & jnp.uint32(0x55555555)
+        xw = word ^ (c.astype(jnp.uint32) * jnp.uint32(0x55555555))
+        nx = ~xw
+        m = nx & (nx >> 1) & keep
+        occ_kc = base + jax.lax.population_count(m).astype(jnp.int32)
+        return jnp.where(kk == primary, 0, L2[c] + occ_kc)
+
+    def body(_, state):
+        kk, steps = state
+        todo = active & ((kk & 31) != 0)
+        kn = routed_inv_psi(jnp.where(todo, kk, 32))
+        return (jnp.where(todo, kn, kk), jnp.where(todo, steps + 1, steps))
+
+    kf, stepsf = jax.lax.fori_loop(0, max_walk, body,
+                                   (k, jnp.zeros_like(k)))
+    resolved = active & ((kf & 31) == 0)
+    return stepsf + _routed_rows(sa_local, sps, kf >> 5), resolved
+
+
 def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
                                n_devices: int, max_len: int,
                                batch_global: int, tier: int = 2):
@@ -254,12 +292,16 @@ def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
     genome-sharded over the mesh — the human-scale index path for the
     real backend (pipeline/device_backend.py wires it behind
     cfg.index_shards). The dominant HBM cost (the 96 B/base occ3 table)
-    drops to 1/n per chip; the 1-step occ words, sampled SA and text
-    words (~2.2 B/base combined) stay replicated here — sharding those
-    too is build_sharded_sa_resolve's routing applied at the same spot.
+    drops to 1/n per chip, and SA resolution routes through sharded
+    tables too, matching the single-chip policy branch: full SA in HBM
+    -> ONE routed gather of the sharded sa_full (4 B/base -> /n, exact
+    parity); sampled-SA walk -> routed_sa_walk over sharded 1-step occ
+    rows + SA samples (~2.2 B/base -> /n, same algorithm/rows as the
+    replicated walk). Only the text words for the mismatch compare
+    (~0.5 B/base) and the tiny correction tables stay replicated.
 
-    jit fn(occ_slices [n, rps, 72] sharded, packed [BG, max_len/4]
-    sharded, rlens [BG] sharded) ->
+    jit fn(occ_slices [n, rps, 72], <sa slices — see backend setup>,
+    packed [BG, max_len/4] sharded, rlens [BG] sharded) ->
       (cls, pd0, mm, rplast, cscore [BG], mmp [BG, S], overflow [BG],
        hit_read(global), hit_rpos, hit_len, hit_loc, keep [n*Hd],
        buf_ovf [n]) — hits are RAW per-shard segments; the backend
@@ -268,7 +310,6 @@ def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
     import dataclasses as dc
 
     from ..ops.chain_device import CLASS_SLOW, classify_reads
-    from ..ops.fm_device import sa_resolve
 
     BG = batch_global
     assert BG % n_devices == 0
@@ -277,8 +318,9 @@ def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
     H = B * max(9, tier) // 4
     fm3_stub = dc.replace(fm3, occ3_rows=jnp.zeros((0, 72), jnp.int32))
     fm1 = fm3.fm
+    full_sa = bool(fm1.has_full_sa)
 
-    def device_fn(occ3_local, packed, rlens):
+    def device_fn(occ3_local, occ1_local, sa_local, packed, rlens):
         occ3_local = occ3_local[0]
         sfm = ShardedFM3(fm3=fm3_stub, occ3_local=occ3_local,
                          rows_per_shard=occ3_local.shape[0],
@@ -319,8 +361,15 @@ def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
         hit_valid = hpos < jnp.minimum(total_raw, H)
         buf_ovf = (total_raw > H).astype(jnp.int32)
 
-        hit_loc, resolved = sa_resolve(fm1, jnp.where(hit_valid, hit_row, 32),
-                                       hit_valid)
+        sa_local = sa_local[0]
+        k_q = jnp.where(hit_valid, hit_row, 32)
+        if full_sa:
+            hit_loc = _routed_rows(sa_local, sa_local.shape[0], k_q)
+            resolved = hit_valid
+        else:
+            hit_loc, resolved = routed_sa_walk(
+                occ1_local[0], sa_local, fm1.primary, fm1.L2, k_q,
+                hit_valid)
         unresolved_read = jnp.zeros(B, dtype=jnp.int32).at[hit_read].max(
             (hit_valid & ~resolved).astype(jnp.int32))
         overflow = overflow | (unresolved_read > 0)
@@ -348,7 +397,8 @@ def build_sharded_chain_kernel(fm3: DeviceFM3, chain_ctx, mesh: Mesh,
 
     fn = jax.jit(
         jax.shard_map(device_fn, mesh=mesh,
-                      in_specs=(P("dp", None, None), P("dp", None), P("dp")),
+                      in_specs=(P("dp", None, None), P("dp", None, None),
+                                P("dp", None), P("dp", None), P("dp")),
                       out_specs=(P("dp"), P("dp"), P("dp"), P("dp"),
                                  P("dp"), P("dp", None), P("dp"),
                                  P("dp"), P("dp"), P("dp"), P("dp"),

@@ -209,11 +209,31 @@ class DeviceBackend:
             from ..parallel.sharded_index import shard_occ3_rows
             n = self.index_shards
             mesh = make_mesh(n)
-            slices, rps = shard_occ3_rows(self.fm3, n)
-            occ_dev = jax.device_put(
-                jnp.asarray(slices),
-                NamedSharding(mesh, P("dp", None, None)))
-            self._sharded = (mesh, occ_dev, rps)
+
+            def put(a, spec):
+                return jax.device_put(jnp.asarray(a),
+                                      NamedSharding(mesh, spec))
+
+            def pad_split(a):
+                a = np.asarray(a)
+                per = -(-a.shape[0] // n)
+                pad = np.zeros((n * per,) + a.shape[1:], dtype=a.dtype)
+                pad[:a.shape[0]] = a
+                return pad.reshape((n, per) + a.shape[1:])
+
+            slices, _ = shard_occ3_rows(self.fm3, n)
+            occ_dev = put(slices, P("dp", None, None))
+            # SA resolution tables, sharded to match the single-chip
+            # policy branch (ops/fm_device.sa_resolve)
+            if self.fm.has_full_sa:
+                sa_dev = put(pad_split(self.fm.sa_full), P("dp", None))
+                occ1_dev = put(np.zeros((n, 1, 8), np.int32),
+                               P("dp", None, None))
+            else:
+                occ1_dev = put(pad_split(self.fm.occ_rows),
+                               P("dp", None, None))
+                sa_dev = put(pad_split(self.fm.sa_samp), P("dp", None))
+            self._sharded = (mesh, occ_dev, occ1_dev, sa_dev)
         return self._sharded
 
     def _sharded_chain_for(self, bucket: int, tier: int, batch_global: int):
@@ -476,7 +496,8 @@ class _ShardedChain:
         self.tier = tier
         self.BG = batch_global
         self.n = be.index_shards
-        self.mesh, self.occ_dev, _ = be._sharded_setup()
+        (self.mesh, self.occ_dev, self.occ1_dev,
+         self.sa_dev) = be._sharded_setup()
         self.fn = build_sharded_chain_kernel(
             be.fm3, be.chain_ctx, self.mesh, self.n, bucket, batch_global,
             tier)
@@ -489,7 +510,8 @@ class _ShardedChain:
             rl_p[:int(rl_dev.shape[0])] = np.asarray(rl_dev)
             rl_dev = jax.device_put(jnp.asarray(rl_p),
                                     NamedSharding(self.mesh, P("dp")))
-        outs = self.fn(self.occ_dev, packed_dev, rl_dev)
+        outs = self.fn(self.occ_dev, self.occ1_dev, self.sa_dev,
+                       packed_dev, rl_dev)
         return outs, outs[1], outs[5]
 
     def rerun_builder(self, tier: int):

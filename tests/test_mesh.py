@@ -280,3 +280,86 @@ def test_sharded_backend_stream_golden(tmp_path, toy_fasta):
                 if not l.startswith("##")]
     got_vcf = [l for l in open(cfg.vcf_file) if not l.startswith("##")]
     assert got_vcf == want_vcf
+
+
+def test_sharded_chain_sampled_sa_walk():
+    """Force the sampled-SA policy (no full SA in HBM): the sharded
+    chain kernel's ROUTED inverse-Psi walk over sharded 1-step occ rows
+    + SA samples must match the single-chip kernel's replicated walk
+    bit-for-bit, including unresolved-row overflow flags."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.index.packer import PackedReference
+    from mapcaller_tpu.ops.fm3_device import DeviceFM3
+    from mapcaller_tpu.ops.fm_search import build_seed_chain_kernel
+    from mapcaller_tpu.parallel.mesh import make_mesh
+    from mapcaller_tpu.parallel.sharded_index import (
+        build_sharded_chain_kernel, shard_occ3_rows)
+
+    rng = np.random.default_rng(43)
+    codes = rng.integers(0, 4, size=24000).astype(np.uint8)
+    idx = build_index(None, packed=PackedReference(
+        ["chr1"], [len(codes)], [0], codes, []))
+    fm3 = DeviceFM3.from_host(idx)
+    fm_s = dc.replace(fm3.fm, sa_full=jnp.zeros(0, jnp.int32))
+    fm3_s = dc.replace(fm3, fm=fm_s)
+    from mapcaller_tpu.ops.chain_device import ChainCtx
+    ctx = ChainCtx.from_host(idx)
+
+    n_dev, B, bucket = 8, 128, 128
+    mat = np.zeros((B, bucket), np.uint8)
+    rlens = np.full(B, 100, np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, len(codes) - 100))
+        r = codes[p:p + 100].copy()
+        if i % 4 == 1:
+            r[25] = (r[25] + 1) % 4
+        mat[i, :100] = r
+    packed = np.zeros((B, bucket // 4), dtype=np.uint8)
+    for j in range(4):
+        packed |= (mat[:, j::4] & 3) << (2 * j)
+
+    single = build_seed_chain_kernel(fm3_s, ctx, bucket, B)
+    dev, _, _ = single(jnp.asarray(packed), jnp.asarray(rlens))
+    (cls0, pd0, mm0, rpl0, csc0, cnt0, rp0, gp0, ln0, ovf0,
+     buf0) = single.collect(dev)
+
+    mesh = make_mesh(n_dev)
+
+    def pad_split(a):
+        a = np.asarray(a)
+        per = -(-a.shape[0] // n_dev)
+        pad = np.zeros((n_dev * per,) + a.shape[1:], dtype=a.dtype)
+        pad[:a.shape[0]] = a
+        return pad.reshape((n_dev, per) + a.shape[1:])
+
+    occ3_s, _ = shard_occ3_rows(fm3_s, n_dev)
+    fn = build_sharded_chain_kernel(fm3_s, ctx, mesh, n_dev, bucket, B)
+    sh3 = NamedSharding(mesh, P("dp", None, None))
+    sh2 = NamedSharding(mesh, P("dp", None))
+    outs = fn(jax.device_put(jnp.asarray(occ3_s), sh3),
+              jax.device_put(jnp.asarray(pad_split(fm_s.occ_rows)), sh3),
+              jax.device_put(jnp.asarray(pad_split(fm_s.sa_samp)), sh2),
+              jax.device_put(jnp.asarray(packed), sh2),
+              jax.device_put(jnp.asarray(rlens),
+                             NamedSharding(mesh, P("dp"))))
+    (cls, pd, mm, rpl, csc, mmp, ovf, hit_read, hit_rpos, hit_len,
+     hit_loc, keep_slow, buf) = [np.asarray(x) for x in outs]
+    k = keep_slow.astype(bool)
+    counts = np.bincount(hit_read[k], minlength=B)[:B].astype(np.int32)
+    order = np.argsort(hit_read[k], kind="stable")
+    assert np.array_equal(cls, cls0)
+    assert np.array_equal(pd, pd0)
+    assert np.array_equal(mm, mm0)
+    assert np.array_equal(rpl, rpl0)
+    assert np.array_equal(csc, csc0)
+    assert np.array_equal(counts, cnt0)
+    assert np.array_equal(hit_rpos[k][order], rp0)
+    assert np.array_equal(hit_loc[k][order].astype(np.int64), gp0)
+    assert np.array_equal(hit_len[k][order], ln0)
+    assert np.array_equal(ovf.astype(bool), ovf0)
