@@ -255,7 +255,7 @@ class DeviceBackend:
         token and collect contract are unchanged. The folded-evidence
         path is single-chip only (the sharded kernel returns the same
         pd/mmp for the classic apply)."""
-        if self.index_shards > 1:
+        if self.index_shards > 1 and self._fm3_ok:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             n = self.index_shards
