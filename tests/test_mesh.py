@@ -363,3 +363,45 @@ def test_sharded_chain_sampled_sa_walk():
     assert np.array_equal(hit_loc[k][order].astype(np.int64), gp0)
     assert np.array_equal(hit_len[k][order], ln0)
     assert np.array_equal(ovf.astype(bool), ovf0)
+
+
+def test_sharded_tier_rerun_parity():
+    """Hit-buffer overflow on the sharded path: the rerun hook must
+    rebuild the sharded kernel at the larger tier (not the single-chip
+    one) and outputs must match the plain backend's rerun results."""
+    import numpy as np
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.index.packer import PackedReference
+    from mapcaller_tpu.pipeline.device_backend import DeviceBackend
+
+    rng = np.random.default_rng(47)
+    unit = rng.integers(0, 4, 400).astype(np.uint8)
+    genome = np.concatenate([rng.integers(0, 4, 3000).astype(np.uint8),
+                             unit, unit, unit, unit,
+                             rng.integers(0, 4, 3000).astype(np.uint8)])
+    idx = build_index(None, packed=PackedReference(
+        ["chr1"], [len(genome)], [0], genome, []))
+    B, bucket = 256, 128
+    mat = np.zeros((B, bucket), np.uint8)
+    rlens = np.full(B, 100, np.int32)
+    for i in range(B):
+        p = int(rng.integers(3000, 3000 + 4 * 400 - 100))
+        mat[i, :100] = genome[p:p + 100]
+    packed = np.zeros((B, bucket // 4), dtype=np.uint8)
+    for j in range(4):
+        packed |= (mat[:, j::4] & 3) << (2 * j)
+
+    outs = []
+    for shards in (0, 8):
+        cfg = Config(sam_file="x", vcf_file="v", log_file="l",
+                     index_shards=shards)
+        be = DeviceBackend(idx, cfg)
+        token = be.submit_chain(packed, rlens, bucket)
+        outs.append(be.collect_chain(token, B, lambda i: mat[i, :100]))
+        assert be.n_tier_reruns >= 1 or be.n_full_fallbacks >= 1
+    for a, b, name in zip(outs[0], outs[1],
+                          ("cls", "pd", "mm", "rplast", "cscore", "counts",
+                           "rpos", "gpos", "slen")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
