@@ -54,3 +54,8 @@ def test_version_and_usage():
 
 def test_unknown_flag():
     assert parse_args(["mapcaller", "-bogus"]) is None
+
+
+def test_shards_flag():
+    cfg = parse_args(["mapcaller", "-i", "x", "-shards", "8"])
+    assert cfg.index_shards == 8
