@@ -405,3 +405,37 @@ def test_sharded_tier_rerun_parity():
                           ("cls", "pd", "mm", "rplast", "cscore", "counts",
                            "rpos", "gpos", "slen")):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_sharded_backend_gvcf_parity(tmp_path, toy_fasta):
+    """index_shards=8 x -gvcf: NOR blocks computed from device planes
+    that were fed by the sharded kernel's outputs must equal the plain
+    backend's gVCF byte-for-byte."""
+    import os
+    import time
+
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.index.fmindex import build_index
+    from mapcaller_tpu.pipeline.device_backend import DeviceBackend
+    from mapcaller_tpu.pipeline.engine import MappingEngine
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    from mapcaller_tpu.runner import run_calling
+
+    idx = build_index(toy_fasta)
+    data = os.path.join(os.path.dirname(__file__), "data", "subset")
+    vcfs = []
+    for shards in (0, 8):
+        cfg = Config(sam_file="x", vcf_file=str(tmp_path / f"{shards}.vcf"),
+                     log_file=str(tmp_path / f"{shards}.log"),
+                     gvcf=True, index_shards=shards)
+        backend = DeviceBackend(idx, cfg)
+        engine = MappingEngine(idx, cfg, backend=backend)
+        cfg.read_files1 = [os.path.join(data, "sub_r1.fq.gz")]
+        cfg.read_files2 = [os.path.join(data, "sub_r2.fq.gz")]
+        parts = []
+        run_stream_mapping(engine, cfg, time.time(), parts.append)
+        engine.finalize()
+        run_calling(engine, cfg, "t")
+        vcfs.append([l for l in open(cfg.vcf_file)
+                     if not l.startswith("##")])
+    assert vcfs[0] == vcfs[1] and len(vcfs[0]) > 100
