@@ -41,6 +41,44 @@ def run_map_call(idx, cfg_kwargs, files, n_expect, passes=1):
     return n / best, best
 
 
+def run_row(name):
+    """One matrix row in THIS process; rows are isolated in
+    subprocesses because leftover engines/HBM planes from earlier rows
+    measurably degrade later ones (see memory: warm engines cost 5x)."""
+    from mapcaller_tpu.index.fmindex import build_index, load_index
+    if name == "index_build_s_4.6Mb":
+        t0 = time.time()
+        build_index(f"{BENCH_DIR}/ecoli.fa", f"{BENCH_DIR}/mci_rebuild")
+        return round(time.time() - t0, 2)
+    idx = load_index(f"{BENCH_DIR}/mci")
+    div = f"{BENCH_DIR}/div.fq"
+    if name == "pe_nw_map_call_reads_per_s":
+        r, _ = run_map_call(idx, {}, (f"{BENCH_DIR}/sub_r1.fq",
+                                      f"{BENCH_DIR}/sub_r2.fq"), 200_000)
+    elif name == "se_ksw2_map_call_reads_per_s":
+        r, _ = run_map_call(idx, {"use_nw": False},
+                            (f"{BENCH_DIR}/sub_r1.fq", None), 100_000)
+    elif name == "divergent3pct_scalar_ext_reads_per_s":
+        r, _ = run_map_call(idx, {}, (div, None), 50_000)
+    elif name == "divergent3pct_pallas_ext_reads_per_s":
+        r, _ = run_map_call(idx, {"device_extension": True}, (div, None),
+                            50_000)
+    elif name == "divergent3pct_pallas_ksw2_reads_per_s":
+        r, _ = run_map_call(idx, {"use_nw": False,
+                                  "device_extension": True}, (div, None),
+                            50_000)
+    else:
+        raise SystemExit(f"unknown row {name}")
+    return round(r, 1)
+
+
+ROW_NAMES = ("index_build_s_4.6Mb", "pe_nw_map_call_reads_per_s",
+             "se_ksw2_map_call_reads_per_s",
+             "divergent3pct_scalar_ext_reads_per_s",
+             "divergent3pct_pallas_ext_reads_per_s",
+             "divergent3pct_pallas_ksw2_reads_per_s")
+
+
 def main():
     import numpy as np
     from mapcaller_tpu import enable_compilation_cache, tune_host_allocator
@@ -53,13 +91,12 @@ def main():
     from mapcaller_tpu.dna import decode
     from mapcaller_tpu.index.fmindex import build_index, load_index
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--row":
+        print(json.dumps({sys.argv[2]: run_row(sys.argv[2])}))
+        return
+
     rows = {}
     idx = load_index(f"{BENCH_DIR}/mci")
-
-    # index build time (E. coli scale)
-    t0 = time.time()
-    build_index(f"{BENCH_DIR}/ecoli.fa", f"{BENCH_DIR}/mci_rebuild")
-    rows["index_build_s_4.6Mb"] = round(time.time() - t0, 2)
 
     # divergent read set: 3% error + indels (DP extension fires)
     div = f"{BENCH_DIR}/div.fq"
@@ -82,19 +119,16 @@ def main():
                                         g[p + 50 + d:p + 110]])[:100]
                 f.write(f"@v{k}\n{decode(c)}\n+\n{'I' * 100}\n")
 
-    r, t = run_map_call(idx, {}, (f"{BENCH_DIR}/sub_r1.fq",
-                                  f"{BENCH_DIR}/sub_r2.fq"), 200_000)
-    rows["pe_nw_map_call_reads_per_s"] = round(r, 1)
-    r, t = run_map_call(idx, {"use_nw": False},
-                        (f"{BENCH_DIR}/sub_r1.fq", None), 100_000)
-    rows["se_ksw2_map_call_reads_per_s"] = round(r, 1)
-    r, t = run_map_call(idx, {}, (div, None), N_DIV)
-    rows["divergent3pct_scalar_ext_reads_per_s"] = round(r, 1)
-    r, t = run_map_call(idx, {"device_extension": True}, (div, None), N_DIV)
-    rows["divergent3pct_pallas_ext_reads_per_s"] = round(r, 1)
-    r, t = run_map_call(idx, {"use_nw": False, "device_extension": True},
-                        (div, None), N_DIV)
-    rows["divergent3pct_pallas_ksw2_reads_per_s"] = round(r, 1)
+    # one subprocess per row: clean HBM + host state each time
+    import subprocess
+    for name in ROW_NAMES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--row", name],
+            capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-2000:])
+            raise SystemExit(f"row {name} failed")
+        rows.update(json.loads(out.stdout.strip().splitlines()[-1]))
 
     rows["baseline_reads_per_sec"] = 74000.0
     out = os.path.join(os.path.dirname(os.path.dirname(
