@@ -73,10 +73,17 @@ def build_scan_kernel(L: int, somatic: bool):
 
         aligned = cov > 0
         n_aligned = aligned.sum()
-        cov_hi = jnp.where(aligned, cov >> 8, 0).sum()
-        cov_lo = jnp.where(aligned, cov & 255, 0).sum()
-        scalars = jnp.stack([n_cand, n_runs, n_aligned, cov_hi, cov_lo])
-        return block_depth, cand_idx, run_start, run_val, scalars
+        # per-block partial sums of the coverage split into hi/lo bytes:
+        # a 100-position block sum stays far below 2^31, and the host
+        # finishes the reduction in int64 (a single int32 total overflows
+        # once aligned low-byte coverage exceeds 2^31 at chromosome scale)
+        alignedp = jnp.concatenate([aligned, jnp.zeros(pad, bool)])
+        blk_hi = jnp.where(alignedp, covp >> 8, 0).reshape(
+            nb, BLOCK_SIZE).sum(axis=1)
+        blk_lo = jnp.where(alignedp, covp & 255, 0).reshape(
+            nb, BLOCK_SIZE).sum(axis=1)
+        scalars = jnp.stack([n_cand, n_runs, n_aligned])
+        return block_depth, cand_idx, run_start, run_val, scalars, blk_hi, blk_lo
 
     return jax.jit(kernel)
 

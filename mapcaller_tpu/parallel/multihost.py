@@ -16,10 +16,11 @@ is per-host (shard duplicates together to preserve it); paired-end
 fragment-size estimation is per-host (the reference has no multi-host
 mode to define a contract against).
 
-Event maps (indel seqs <= 8 bases, breakpoints) ride a second
-collective: each event packs into an int32 pair
-(gpos, kind << 28 | len << 24 | 2-bit seq), all_gathered and decoded on
-host 0 (JAX default arrays are int32; int64 would silently truncate).
+Event maps (indel seqs of any length, breakpoints) and discord sites
+ride a second collective: a var-length int32 record stream (counts
+carried once per unique event), sized by a pmax agreement across
+processes, all_gathered and decoded on host 0 (JAX default arrays are
+int32; int64 in collectives silently truncates with x64 off).
 """
 from __future__ import annotations
 
@@ -28,23 +29,27 @@ import functools
 import os
 import numpy as np
 
-EVENT_CAP = 1 << 16
-SITE_CAP = 1 << 14
+AUX_WORD_CAP = 64 << 20   # 256 MB of int32 words — truncate (warn) past this
 
 
-def _encode_events(profile, two_l: int) -> np.ndarray:
-    """(gpos, kind, seq) events -> int32[N, 2]. kind: 0 bp, 1 ins, 2 del.
-    (int32 pairs: JAX default arrays are int32; int64 would truncate.)"""
+def _serialize_aux(profile, inv_sites, tnl_sites) -> np.ndarray:
+    """Events + discord sites -> var-length int32 word stream (counts
+    carried once per unique event, indel seqs of ANY length packed
+    2-bit — no fixed EVENT_CAP / 8 bp limits). Records:
+      [0, g, kind, count, len, seq_word...]   event (kind: 0 bp 1 ins 2 del)
+      [1, g, d, k]                            discord site (k: 0 inv 1 tnl)
+    (int32 words: JAX default arrays are int32; int64 in collectives
+    silently truncates with x64 off.)"""
     out = []
 
     def pack(g, kind, seq, count):
-        if len(seq) > 8 or g >= (1 << 31):
-            raise ValueError("event out of packing range")
-        s2 = 0
-        for i, ch in enumerate(seq):
-            s2 |= "ACGT".index(ch) << (2 * i)
-        for _ in range(count):
-            out.append((g, (kind << 28) | (len(seq) << 24) | s2))
+        words = []
+        for w0 in range(0, len(seq), 15):   # 15 bases = 30 bits (int32-safe)
+            s2 = 0
+            for i, ch in enumerate(seq[w0:w0 + 15]):
+                s2 |= "ACGT".index(ch) << (2 * i)
+            words.append(s2)
+        out.extend([0, g, kind, count, len(seq)] + words)
 
     for g, cnt in profile.break_point.items():
         pack(g, 0, "", cnt)
@@ -52,22 +57,48 @@ def _encode_events(profile, two_l: int) -> np.ndarray:
         for g, inner in table.items():
             for seq, cnt in inner.items():
                 pack(g, kind, seq, cnt)
-    return np.asarray(out, dtype=np.int32).reshape(-1, 2)
+    for g, d in inv_sites:
+        out.extend([1, g, d, 0])
+    for g, d in tnl_sites:
+        out.extend([1, g, d, 1])
+    arr = np.asarray(out, dtype=np.int32)
+    if arr.size > AUX_WORD_CAP:
+        # degrade gracefully: drop whole records past the cap
+        import sys
+        end = 0
+        while end < AUX_WORD_CAP:
+            step = (5 + (arr[end + 4] + 14) // 15) if arr[end] == 0 else 4
+            if end + step > AUX_WORD_CAP:
+                break
+            end += step
+        print(f"[multihost] WARNING: aux stream {arr.size} words exceeds "
+              f"cap {AUX_WORD_CAP}; truncating", file=sys.stderr)
+        arr = arr[:end]
+    return arr
 
 
-def _decode_events(arr: np.ndarray, profile) -> None:
-    for g, meta in arr.reshape(-1, 2).tolist():
-        if meta < 0:
-            continue
-        kind = (meta >> 28) & 3
-        ln = (meta >> 24) & 15
-        seq = "".join("ACGT"[(meta >> (2 * i)) & 3] for i in range(ln))
-        if kind == 0:
-            profile.break_point[g] = profile.break_point.get(g, 0) + 1
+def _decode_aux(arr: np.ndarray, used: int, profile, inv_sites,
+                tnl_sites) -> None:
+    i = 0
+    a = arr[:used].tolist()
+    while i < used:
+        tag = a[i]
+        if tag == 0:
+            g, kind, count, ln = a[i + 1:i + 5]
+            nw = (ln + 14) // 15
+            seq = "".join("ACGT"[(a[i + 5 + j // 15] >> (2 * (j % 15))) & 3]
+                          for j in range(ln))
+            i += 5 + nw
+            if kind == 0:
+                profile.break_point[g] = profile.break_point.get(g, 0) + count
+            else:
+                tbl = profile.insert_map if kind == 1 else profile.delete_map
+                inner = tbl.setdefault(g, {})
+                inner[seq] = inner.get(seq, 0) + count
         else:
-            tbl = profile.insert_map if kind == 1 else profile.delete_map
-            inner = tbl.setdefault(g, {})
-            inner[seq] = inner.get(seq, 0) + 1
+            g, d, k = a[i + 1:i + 4]
+            (inv_sites if k == 0 else tnl_sites).append((g, d))
+            i += 4
 
 
 def run_host(process_id: int, num_processes: int, coordinator: str,
@@ -133,16 +164,26 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     reduced = np.asarray(
         [s.data for s in reduced_g.addressable_shards][0]).reshape(-1)
 
-    # ---- events + discord sites: fixed-capacity all_gather --------------
-    ev = _encode_events(p, idx.seq_len)
-    ev_pad = np.full((EVENT_CAP, 2), -1, dtype=np.int32)
-    ev_pad[:ev.shape[0]] = ev
-    sites = np.full((SITE_CAP, 3), -1, dtype=np.int32)
-    rows = ([(g, d, 0) for g, d in engine.inv_sites]
-            + [(g, d, 1) for g, d in engine.tnl_sites])
-    if rows:
-        sites[:len(rows)] = np.asarray(rows, dtype=np.int32)
-    aux_local = np.concatenate([ev_pad.reshape(-1), sites.reshape(-1)])
+    # ---- events + discord sites: var-length all_gather ------------------
+    # sizes are data-dependent, so processes first agree on the max via a
+    # tiny psum-max, then pad to that and gather [used_words, stream...]
+    aux_words = _serialize_aux(p, engine.inv_sites, engine.tnl_sites)
+    len_dev = jax.device_put(jnp.asarray([[np.int32(aux_words.size)]]),
+                             jax.local_devices()[0])
+    len_g = jax.make_array_from_single_device_arrays(
+        (n, 1), NamedSharding(mesh, P("hosts", None)), [len_dev])
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("hosts", None),
+                       out_specs=P(None))
+    def allmax(x):
+        return jax.lax.pmax(x[0], "hosts")
+
+    max_words = int(np.asarray(
+        [s.data for s in allmax(len_g).addressable_shards][0])[0])
+    aux_local = np.zeros(1 + max_words, dtype=np.int32)
+    aux_local[0] = aux_words.size
+    aux_local[1:1 + aux_words.size] = aux_words
     aux_dev = jax.device_put(jnp.asarray(aux_local[None, :]),
                              jax.local_devices()[0])
     aux_g = jax.make_array_from_single_device_arrays(
@@ -183,10 +224,8 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     engine.tnl_sites.clear()
     for h in range(gathered.shape[0]):
         row = gathered[h]
-        _decode_events(row[:2 * EVENT_CAP], p)
-        srows = row[2 * EVENT_CAP:].reshape(SITE_CAP, 3)
-        for g, d, k in srows[srows[:, 0] >= 0].tolist():
-            (engine.inv_sites if k == 0 else engine.tnl_sites).append((g, d))
+        _decode_aux(row[1:], int(row[0]), p, engine.inv_sites,
+                    engine.tnl_sites)
     engine.stats.total_reads = total_reads
     engine.stats.total_mapped = total_mapped
     engine.finalize()

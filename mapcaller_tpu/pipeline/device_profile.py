@@ -330,19 +330,23 @@ class DeviceEvidence:
 
     def scan(self):
         """Dense caller scan (cached); returns host-side
-        (block_depth int64[nb], cand_idx, run_start, run_val, scalars)."""
+        (block_depth int64[nb], cand_idx, run_start, run_val,
+        scalars int64[4] = (n_cand, n_runs, n_aligned, total_cov))."""
         if self._scan is not None:
             return self._scan
         from ..calling.scan_device import build_scan_kernel
         acgt, F, multi, cov, cov_prefix = self.finalize()
         kern = build_scan_kernel(self.L, bool(self.cfg.somatic))
         freq_base = 0.01 if self.cfg.somatic else self.cfg.frequency_thr
-        bd, cand_idx, run_start, run_val, scalars = kern(
+        bd, cand_idx, run_start, run_val, scalars, blk_hi, blk_lo = kern(
             acgt, multi, cov, self._ref_codes_dev(),
             jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
+        total_cov = ((np.asarray(blk_hi).astype(np.int64).sum() << 8)
+                     + np.asarray(blk_lo).astype(np.int64).sum())
+        scal4 = np.concatenate([np.asarray(scalars).astype(np.int64),
+                                np.asarray([total_cov], np.int64)])
         self._scan = (np.asarray(bd).astype(np.int64), np.asarray(cand_idx),
-                      np.asarray(run_start), np.asarray(run_val),
-                      np.asarray(scalars))
+                      np.asarray(run_start), np.asarray(run_val), scal4)
         return self._scan
 
     def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray):

@@ -311,8 +311,7 @@ class MappingEngine:
             _, _, _, _, scalars = self.device_evidence.scan()
             n_aligned = int(scalars[2])
             if n_aligned > 0:
-                total = (int(scalars[3]) << 8) + int(scalars[4])
-                st.avg_cov = int(total / n_aligned + 0.5)
+                st.avg_cov = int(int(scalars[3]) / n_aligned + 0.5)
         elif self.cfg.vcf_output and self.profile is not None:
             cov = self.profile.acgt.sum(axis=0)
             aligned = cov > 0

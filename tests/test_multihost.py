@@ -88,3 +88,31 @@ def test_two_process_collective_vcf_matches_single(tmp_path):
     types = {l.split("TYPE=")[1].split("\t")[0].split(";")[0]
              for l in body if "TYPE=" in l}
     assert "snv" in types and "del" in types, types
+
+
+def test_aux_stream_roundtrip_long_indels_and_counts():
+    """The var-length aux stream handles what the old int32-pair packing
+    crashed on: indel seqs >8 bp and arbitrarily large counts."""
+    sys.path.insert(0, REPO)
+    from mapcaller_tpu.parallel.multihost import _decode_aux, _serialize_aux
+
+    class P:
+        pass
+
+    p = P()
+    long_seq = "ACGTACGTACGTACGTACGTA"          # 21 bp > old 8 bp limit
+    p.break_point = {123456: 3, 99: 200000}     # count >> old repeat model
+    p.insert_map = {500: {long_seq: 7, "AC": 1}}
+    p.delete_map = {700: {"G" * 40: 2}}
+    inv = [(10, 4), (20, 5)]
+    tnl = [(30, 6)]
+    words = _serialize_aux(p, inv, tnl)
+
+    q = P()
+    q.break_point, q.insert_map, q.delete_map = {}, {}, {}
+    inv2, tnl2 = [], []
+    _decode_aux(words, words.size, q, inv2, tnl2)
+    assert q.break_point == p.break_point
+    assert q.insert_map == p.insert_map
+    assert q.delete_map == p.delete_map
+    assert inv2 == inv and tnl2 == tnl
