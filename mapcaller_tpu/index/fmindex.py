@@ -160,42 +160,89 @@ def pack_words(codes: np.ndarray) -> np.ndarray:
     return (crumbs << shifts[None, :]).sum(axis=1, dtype=np.uint32)
 
 
+def _build_artifacts_native(text: np.ndarray, n: int):
+    """Direct-write native build: full SA straight into its final buffer
+    (int32 when it fits, ~4 B/base) + one O(1)-memory streaming pass for
+    BWT words / Occ checkpoints / primary. Avoids every O(n) NumPy
+    temporary of the fallback path — the build-RSS fix for chromosome-
+    and human-scale genomes (the reference builds in 10 MB blocks for
+    the same reason, ref: src/BWT_Index/bwt_gen.c:1436,1601)."""
+    try:
+        import ctypes as C
+
+        from ..native import _ptr, load_lib
+        lib = load_lib()
+        if not hasattr(lib, "_safull_bound"):
+            lib.mc_build_sa_full.argtypes = [C.c_void_p, C.c_int64,
+                                             C.c_void_p]
+            lib.mc_build_sa_full64.argtypes = [C.c_void_p, C.c_int64,
+                                               C.c_void_p]
+            lib.mc_derive_bwt.argtypes = [C.c_void_p, C.c_int32, C.c_void_p,
+                                          C.c_int64, C.c_void_p, C.c_void_p,
+                                          C.c_void_p]
+            lib._safull_bound = True
+    except Exception:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    is64 = n + 1 >= 2**31
+    sa_full = np.empty(n + 1, dtype=np.int64 if is64 else np.int32)
+    if is64:
+        lib.mc_build_sa_full64(_ptr(t), C.c_int64(n), _ptr(sa_full))
+    else:
+        lib.mc_build_sa_full(_ptr(t), C.c_int64(n), _ptr(sa_full))
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    bwt_words = np.zeros((n + 15) // 16, dtype=np.uint32)
+    ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+    aux = np.zeros(1, dtype=np.int64)
+    lib.mc_derive_bwt(_ptr(sa_full), C.c_int32(1 if is64 else 0), _ptr(t),
+                      C.c_int64(n), _ptr(bwt_words), _ptr(ckpt), _ptr(aux))
+    sa_samp = sa_full[::SA_INTERVAL].astype(np.int64)
+    sa_samp[0] = -1
+    return int(aux[0]), bwt_words, ckpt, sa_samp, sa_full
+
+
 def build_index(fasta_path: str, prefix: Optional[str] = None,
-                packed: Optional[PackedReference] = None) -> FMIndex:
-    """Full offline build (ref: src/BWT_Index/bwtindex.c:77-148 flow)."""
+                packed: Optional[PackedReference] = None,
+                keep_sa64: bool = False) -> FMIndex:
+    """Full offline build (ref: src/BWT_Index/bwtindex.c:77-148 flow).
+
+    keep_sa64: retain the int64 sa_full even for >=2^31-row texts (the
+    big-genome x64 device path needs it; costs 8 B/base of artifact)."""
     ref = packed if packed is not None else pack_fasta(fasta_path)
     text = ref.fwd_rc_codes()
     n = int(text.size)
-    sa = build_suffix_array(text)
-    bwt, primary = bwt_from_sa(text, sa)
+    built = _build_artifacts_native(text, n)
+    if built is not None:
+        primary, bwt_words, ckpt, sa_samp, sa_full = built
+        if sa_full.dtype == np.int64 and not keep_sa64:
+            sa_full = None
+    else:
+        sa = build_suffix_array(text)
+        bwt, primary = bwt_from_sa(text, sa)
+        bwt_words = pack_words(bwt)
+        # Occ checkpoints every 128 entries of the $-removed BWT:
+        # per-symbol block sums + cumsum (no [n,4] materialization).
+        n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+        ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+        starts = np.arange(0, n, OCC_INTERVAL)
+        for c in range(4):
+            block = np.add.reduceat((bwt == c).astype(np.int32), starts)
+            ckpt[1:, c] = np.cumsum(block, dtype=np.int64)
+        # SA sampled every 32 full rows; full SA = [n] + sa.
+        n_sa = (n + SA_INTERVAL) // SA_INTERVAL
+        sa_samp = np.empty(n_sa, dtype=np.int64)
+        sa_samp[0] = -1
+        rows = np.arange(1, n_sa) * SA_INTERVAL
+        sa_samp[1:] = sa[rows - 1]  # full row r -> sa[r-1]
+        sa_full = None
+        if n < 2**31:
+            sa_full = np.empty(n + 1, dtype=np.int32)
+            sa_full[0] = n
+            sa_full[1:] = sa
 
     counts = np.bincount(text, minlength=4)[:4]
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(counts)
-
-    bwt_words = pack_words(bwt)
-
-    # Occ checkpoints every 128 entries of the $-removed BWT:
-    # per-symbol block sums + cumsum (no [n,4] materialization).
-    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-    ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
-    starts = np.arange(0, n, OCC_INTERVAL)
-    for c in range(4):
-        block = np.add.reduceat((bwt == c).astype(np.int32), starts)
-        ckpt[1:, c] = np.cumsum(block, dtype=np.int64)
-
-    # SA sampled every 32 full rows; full SA = [n] + sa.
-    n_sa = (n + SA_INTERVAL) // SA_INTERVAL
-    sa_samp = np.empty(n_sa, dtype=np.int64)
-    sa_samp[0] = -1
-    rows = np.arange(1, n_sa) * SA_INTERVAL
-    sa_samp[1:] = sa[rows - 1]  # full row r -> sa[r-1]
-
-    sa_full = None
-    if n < 2**31:
-        sa_full = np.empty(n + 1, dtype=np.int32)
-        sa_full[0] = n
-        sa_full[1:] = sa
 
     idx = FMIndex(primary=primary, L2=L2, bwt_words=bwt_words, ckpt=ckpt,
                   sa_samp=sa_samp, seq_len=n, ref=ref, sa_full=sa_full)

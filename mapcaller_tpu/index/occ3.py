@@ -140,6 +140,66 @@ def build_occ3(sa_full: np.ndarray, text: np.ndarray) -> Occ3Table:
                      tail2b=int(text[n - 1]))
 
 
+@dataclasses.dataclass
+class Occ3Table64:
+    """Shard-relative occ3 table for >2^31-row texts (the big-genome /
+    human-scale format; reference index types are uint64 end to end,
+    ref: src/BWT_Index/bwt.h:44,47-56). Row counts are relative to the
+    owning shard's base counts so the 288 B row stays int32; absolute
+    count = base3[shard][d] + rows[w][d], recombined in the x64 device
+    kernels (parallel/big_index.py)."""
+    rows: np.ndarray       # int32[nw3, 72] (possibly a disk memmap)
+    base3: np.ndarray      # int64[n_shards, 64]
+    c3_first: np.ndarray   # int64[64]
+    words_per_shard: int
+    row_p1: int
+    row_p2: int
+    t0: int
+    t1: int
+    tail1: int
+    tail2a: int
+    tail2b: int
+
+
+def build_occ3_64(sa_full: np.ndarray, text: np.ndarray,
+                  words_per_shard: int = 0,
+                  rows_out: np.ndarray | None = None) -> Occ3Table64:
+    """Native streaming build of the shard-relative table. sa_full must
+    be int64[n+1]; rows_out lets the caller pass a preallocated (e.g.
+    disk-memmapped) int32[nw3, 72] buffer so multi-GB tables never need
+    a second in-RAM copy."""
+    import ctypes as C
+
+    from ..native import _ptr, load_lib
+    lib = load_lib()
+    if not hasattr(lib, "_occ364_bound"):
+        lib.mc_build_occ3_64.argtypes = [C.c_void_p, C.c_void_p, C.c_int64,
+                                         C.c_void_p, C.c_int64, C.c_int64,
+                                         C.c_void_p, C.c_void_p, C.c_void_p]
+        lib._occ364_bound = True
+    n = int(text.size)
+    assert sa_full.dtype == np.int64 and sa_full.size == n + 1
+    nw3 = (n + 16) // 16 + 2
+    wps = words_per_shard if words_per_shard > 0 else nw3
+    n_shards = -(-nw3 // wps)
+    if rows_out is None:
+        rows_out = np.zeros((nw3, 72), dtype=np.int32)
+    assert rows_out.shape == (nw3, 72) and rows_out.dtype == np.int32
+    base3 = np.zeros((n_shards, 64), dtype=np.int64)
+    c3_first = np.zeros(64, dtype=np.int64)
+    aux = np.zeros(2, dtype=np.int64)
+    txt = np.ascontiguousarray(text, dtype=np.uint8)
+    lib.mc_build_occ3_64(_ptr(sa_full), _ptr(txt), C.c_int64(n),
+                         _ptr(rows_out), C.c_int64(nw3), C.c_int64(wps),
+                         _ptr(base3), _ptr(c3_first), _ptr(aux))
+    return Occ3Table64(rows=rows_out, base3=base3, c3_first=c3_first,
+                       words_per_shard=wps,
+                       row_p1=int(aux[0]), row_p2=int(aux[1]),
+                       t0=int(text[0]), t1=int(text[1]),
+                       tail1=int(text[n - 1]), tail2a=int(text[n - 2]),
+                       tail2b=int(text[n - 1]))
+
+
 def occ3_oracle(tab: Occ3Table, d: int, i: int) -> int:
     """# rows j < i with sym[j] == d (test oracle)."""
     w, m = i >> 4, i & 15

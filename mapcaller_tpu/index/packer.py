@@ -49,9 +49,15 @@ class PackedReference:
 
     def fwd_rc_codes(self) -> np.ndarray:
         """Text for the BWT: forward genome followed by its reverse
-        complement (ref: bntseq.c:183-190)."""
-        rc = (3 - self.codes[::-1]).astype(np.uint8)
-        return np.concatenate([self.codes, rc])
+        complement (ref: bntseq.c:183-190). Cached — multiple consumers
+        (SA build, occ3 build, mismatch words) would otherwise each
+        materialize their own 2n-byte copy."""
+        cached = getattr(self, "_fwd_rc", None)
+        if cached is None or cached.shape[0] != 2 * self.genome_size:
+            rc = (3 - self.codes[::-1]).astype(np.uint8)
+            cached = np.concatenate([self.codes, rc])
+            object.__setattr__(self, "_fwd_rc", cached)
+        return cached
 
     def ref_sequence_codes(self) -> np.ndarray:
         """Codes of RefSequence[0..2L): fwd genome + revcomp

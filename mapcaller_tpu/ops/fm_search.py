@@ -39,27 +39,37 @@ def crumb_lookup(packed: jnp.ndarray, row: jnp.ndarray,
 
 
 def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
-                gather_fn=None, sync_axis=None):
+                gather_fn=None, sync_axis=None, idx_dtype=None,
+                with_iters=False):
     """Greedy-MEM state machine on the 3-step occ table (ops/fm3_device):
     extensions advance 3 bases per iteration (2 gathers) while >=3 bases
     remain; on a 3-step failure the lane replays from the saved state
     with derived 1-steps to find the exact MEM end (<=3 iterations, no
     extra table); tail bases (<3 left) use derived 1-steps too. Seed set
     is bit-identical to _seed_scan / BWT_Search (ref: bwt_search.cpp:
-    121-164)."""
+    121-164).
+
+    idx_dtype: dtype of the interval state (x0/x1/x2) and the per-seed
+    x0/freq tables. int32 by default; the big-genome path (>2^31-row
+    texts, ref index types are uint64 — src/BWT_Index/bwt.h:44) passes
+    int64 under jax x64 and a gather_fn that recombines shard-relative
+    rows to absolute int64 counts."""
     from .fm3_device import gather3, step1_update, step3_update
     if gather_fn is None:
         gather_fn = gather3
+    if idx_dtype is None:
+        idx_dtype = jnp.int32
     L2 = fm3.L2
     primary = fm3.primary
 
     def step(state):
         (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
-         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, iters) = state
         bidx = jnp.arange(B, dtype=jnp.int32)
         stop_pos = rlens - MIN_SEED_LEN
         done = (~in_ext) & (pos >= stop_pos)
         active = ~done
+        iters = iters + active.astype(jnp.int32)   # per-lane trajectory len
 
         cpos = codes_fn(bidx, jnp.minimum(pos, max_len - 1))
         start_new = active & (~in_ext)
@@ -125,11 +135,13 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
                  jnp.where(start_new, replay_init, replay | fail3))
 
         return (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
-                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, iters)
 
     z = rlens * 0
     zb = z != 0
+    zi = z.astype(idx_dtype)       # keeps the carry varying over the mesh
     zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
+    zsi = jnp.zeros((B, max_seeds), dtype=idx_dtype) + zi[:, None]
     K = fm3.pfx_k
     if K and key_fn is not None:
         # prefix-skip for the FIRST extension of every read (pos 0): one
@@ -142,13 +154,13 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
         jump0 = (rlens >= MIN_SEED_LEN + 1) & (trow[:, 2] > 0)
         in_ext0 = jump0
         ext0 = jnp.where(jump0, K, 0)
-        x0_0 = jnp.where(jump0, trow[:, 0], 0)
-        x1_0 = jnp.where(jump0, trow[:, 1], 0)
-        x2_0 = jnp.where(jump0, trow[:, 2], 0)
+        x0_0 = jnp.where(jump0, trow[:, 0], 0).astype(idx_dtype)
+        x1_0 = jnp.where(jump0, trow[:, 1], 0).astype(idx_dtype)
+        x2_0 = jnp.where(jump0, trow[:, 2], 0).astype(idx_dtype)
         state = (z, in_ext0, zb, z, ext0, x0_0, x1_0, x2_0,
-                 z, zs, zs, zs, zs, zb)
+                 z, zs, zs, zsi, zsi, zb, z)
     else:
-        state = (z, zb, zb, z, z, z, z, z, z, zs, zs, zs, zs, zb)
+        state = (z, zb, zb, z, z, zi, zi, zi, z, zs, zs, zsi, zsi, zb, z)
     # worst case ~1.5 iterations/base (len-1 MEMs: init + 3-fail +
     # 1-replay-fail per 2-base advance) + 2/seed finalize
     n_iters = (3 * max_len) // 2 + 2 * max_seeds + 8
@@ -173,7 +185,9 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
 
     _, state = jax.lax.while_loop(block_cond, block_body, (jnp.int32(0), state))
     (_, _, _, _, _, _, _, _, n_seeds, s_rpos, s_len, s_x0, s_freq,
-     overflow) = state
+     overflow, iters) = state
+    if with_iters:
+        return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow, iters
     return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow
 
 

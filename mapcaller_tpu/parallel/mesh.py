@@ -36,6 +36,11 @@ from ..ops.fm_search import MIN_SEED_LEN, _seed_scan, _seed_scan3
 
 def make_mesh(n_devices: int) -> Mesh:
     devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devs)} — set "
+            "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_devices} for the virtual CPU mesh")
     return Mesh(np.array(devs), ("dp",))
 
 

@@ -10,6 +10,7 @@ TPU seeds batch k+1, the host processes batch k (chain -> pair -> align
 from __future__ import annotations
 
 import gzip
+import os
 import sys
 import time
 from typing import Callable, Optional
@@ -67,8 +68,15 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         slot = 0
         pending = deque()
         eof = False
+        # MC_STAGE_PROF=1: per-stage wall-time accumulation (parse /
+        # submit / collect [includes device wait] / host C++ / evidence)
+        prof = ({"parse": 0.0, "submit": 0.0, "collect": 0.0,
+                 "host_cpp": 0.0, "evidence": 0.0, "batches": 0}
+                if os.environ.get("MC_STAGE_PROF") else None)
+        pc = time.perf_counter
         while not eof or pending:
             while not eof and len(pending) < depth:
+                t0 = pc() if prof is not None else 0.0
                 n, maxlen = native.next_batch(slot, sb)
                 if n <= 0:
                     eof = True
@@ -76,19 +84,28 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 bucket = next((b for b in be.BUCKETS
                                if b >= min(maxlen, be.max_len)), be.BUCKETS[-1])
                 packed, rlens = native.batch_codes_packed(slot, bucket, sb)
+                if prof is not None:
+                    t1 = pc()
+                    prof["parse"] += t1 - t0
                 token = (be.submit_chain(packed, rlens, bucket,
                                          evidence=fold_ev, pair_end=pair_end)
                          if use_chain
                          else be.submit_packed(packed, rlens, bucket))
+                if prof is not None:
+                    prof["submit"] += pc() - t1
                 pending.append((slot, n, token))
                 slot = (slot + 1) & 15
             if not pending:
                 break
             pslot, pn, ptoken = pending.popleft()
             if use_chain:
+                t0 = pc() if prof is not None else 0.0
                 (cls, pd, mm, rplast, cscore, counts, rp, gp,
                  ln) = be.collect_chain(
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
+                if prof is not None:
+                    t1 = pc()
+                    prof["collect"] += t1 - t0
                 if getattr(cfg, "device_extension", False):
                     sam_text, st = native.process_batch_cls_devdp(
                         pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
@@ -97,10 +114,17 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                     sam_text, st = native.process_batch_cls(
                         pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
                         counts, rp, gp, ln, stats_io)
+                if prof is not None:
+                    t2 = pc()
+                    prof["host_cpp"] += t2 - t1
                 if engine.device_evidence is not None:
                     fbits = native.fetch_fast_bits()
                     engine.device_evidence.reconcile_batch(ptoken, fbits,
                                                            pair_end)
+                    if prof is not None:
+                        prof["evidence"] += pc() - t2
+                if prof is not None:
+                    prof["batches"] += 1
             else:
                 counts, rp, gp, ln = be.collect_packed(
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
@@ -114,6 +138,12 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 f"\r{int(stats_io[0])} "
                 f"{'paired-end' if pair_end else 'singled-end'} reads "
                 f"processed in {int(time.time() - t_start)} seconds...")
+
+        if prof is not None and prof["batches"]:
+            import json
+            sys.stderr.write("\n[stage-prof] " + json.dumps(
+                {k: (round(v, 3) if isinstance(v, float) else v)
+                 for k, v in prof.items()}) + "\n")
 
     s = engine.stats
     s.total_reads = int(stats_io[0])

@@ -2171,8 +2171,8 @@ i64 mc_event_seq_total(void* ctx) {
 
 }  // extern "C" (template below must have C++ linkage)
 
-template <typename I>
-static void sais_core(const I* T, I* SA, I n, I K, I* unused) {
+template <typename TC, typename I>
+static void sais_core(const TC* T, I* SA, I n, I K, I* unused) {
   (void)unused;
   if (n == 1) { SA[0] = 0; return; }
   vector<unsigned char> stype(n);
@@ -2243,11 +2243,20 @@ static void sais_core(const I* T, I* SA, I n, I K, I* unused) {
   for (I i = 0; i < (I)lms_pos.size(); i++)
     t1.push_back(s1[lms_pos[i] >> 1]);
 
-  // 3) order LMS suffixes: recurse if names collide
+  // 3) order LMS suffixes: recurse if names collide. When the reduced
+  // problem fits int32, downcast the recursion (halves the workspace of
+  // every level below — the dominant build-RSS term at multi-Gbp scale).
   vector<I> sa1(n1);
   if (name < n1) {
-    sais_core<I>(t1.data(), sa1.data(), n1, name,
-                 (I*)nullptr);
+    if (sizeof(I) == 8 && n1 < (I)INT32_MAX && name < (I)INT32_MAX) {
+      vector<i32> t32(n1), sa32(n1);
+      for (I i = 0; i < n1; i++) t32[i] = (i32)t1[i];
+      sais_core<i32, i32>(t32.data(), sa32.data(), (i32)n1, (i32)name,
+                          (i32*)nullptr);
+      for (I i = 0; i < n1; i++) sa1[i] = sa32[i];
+    } else {
+      sais_core<I, I>(t1.data(), sa1.data(), n1, name, (I*)nullptr);
+    }
   } else {
     for (I i = 0; i < n1; i++) sa1[t1[i]] = i;
   }
@@ -2283,25 +2292,90 @@ extern "C" {
 // of the text WITHOUT a sentinel row (matching index/suffix.py).
 extern "C" {
 void mc_build_suffix_array(const unsigned char* text, i64 n, i32* sa) {
-  vector<i32> T(n + 1);
-  for (i64 i = 0; i < n; i++) T[i] = (i32)text[i] + 1;
+  vector<unsigned char> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;  // unique smallest sentinel
   vector<i32> SA(n + 1);
-  sais_core<i32>(T.data(), SA.data(), (i32)(n + 1), 5, nullptr);
+  sais_core<unsigned char, i32>(T.data(), SA.data(), (i32)(n + 1), 5,
+                                nullptr);
   // SA[0] is the sentinel suffix; the rest is the sentinel-free order
   memcpy(sa, SA.data() + 1, n * sizeof(i32));
 }
 
 // int64 variant for texts >= 2^31 (human-scale fwd+rc). Same linear
-// algorithm; needs ~17 B/char of host RAM at build time, in line with
-// what the reference's builder machines provision.
+// algorithm; the text rides as uint8 and the recursion downcasts to
+// int32 once the reduced problem fits, so build RSS is ~9 B/char at the
+// top level instead of the naive 25 B/char.
 void mc_build_suffix_array64(const unsigned char* text, i64 n, i64* sa) {
-  vector<i64> T(n + 1);
-  for (i64 i = 0; i < n; i++) T[i] = (i64)text[i] + 1;
+  vector<unsigned char> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;
   vector<i64> SA(n + 1);
-  sais_core<i64>(T.data(), SA.data(), n + 1, (i64)5, nullptr);
+  sais_core<unsigned char, i64>(T.data(), SA.data(), n + 1, (i64)5, nullptr);
   memcpy(sa, SA.data() + 1, n * sizeof(i64));
+}
+
+// Full-SA direct builds: write the FULL suffix array (sentinel row 0
+// included, sa_full[0] == n — the index/fmindex.py sa_full convention)
+// straight into the caller's buffer, avoiding the extra n*wordsize copy
+// the sentinel-free entry points pay.
+void mc_build_sa_full(const unsigned char* text, i64 n, i32* sa_full) {
+  vector<unsigned char> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
+  T[n] = 0;
+  sais_core<unsigned char, i32>(T.data(), sa_full, (i32)(n + 1), 5, nullptr);
+}
+
+void mc_build_sa_full64(const unsigned char* text, i64 n, i64* sa_full) {
+  vector<unsigned char> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
+  T[n] = 0;
+  sais_core<unsigned char, i64>(T.data(), sa_full, n + 1, (i64)5, nullptr);
+}
+
+// Streaming BWT + Occ-checkpoint derivation from the full SA — replaces
+// the NumPy temporaries of index/suffix.py bwt_from_sa + pack_words +
+// the ckpt reduceat (each O(n) extra arrays) with one O(1)-memory pass.
+//   sa_full: i32 or i64 [n+1] (is64 selects), text: codes[n]
+//   bwt_words: u32[ceil(n/16)] (bwa bit order: base j at bits (15-j%16)*2)
+//   ckpt: i64[(ceil(n/128)+1)*4], ckpt[b] = per-base counts in bwt[0:128b)
+//   aux[0] <- primary (full row of the suffix at text position 0)
+}
+}  // extern "C" x2 (template needs C++ linkage)
+template <typename I>
+static void derive_bwt_stream(const I* sa_full, const unsigned char* text,
+                              i64 n, uint32_t* bwt_words, i64* ckpt,
+                              i64* aux) {
+  i64 nblocks = (n + 127) / 128;
+  i64 c4[4] = {0, 0, 0, 0};
+  i64 j = 0;                 // $-removed BWT index
+  uint32_t word = 0;
+  memset(ckpt, 0, 4 * sizeof(i64));   // ckpt[0] = 0
+  for (i64 r = 0; r <= n; r++) {
+    i64 p = (i64)sa_full[r];
+    int ch;
+    if (r == 0) ch = text[n - 1];
+    else if (p == 0) { aux[0] = r; continue; }   // primary row: '$', skipped
+    else ch = text[p - 1];
+    word |= (uint32_t)ch << ((15 - (j & 15)) << 1);
+    if ((j & 15) == 15) { bwt_words[j >> 4] = word; word = 0; }
+    c4[ch]++;
+    j++;
+    if ((j & 127) == 0) memcpy(ckpt + (j >> 7) * 4, c4, sizeof(c4));
+  }
+  if (j & 15) bwt_words[j >> 4] = word;
+  for (i64 b = (j >> 7) + ((j & 127) ? 1 : 0); b <= nblocks; b++)
+    memcpy(ckpt + b * 4, c4, sizeof(c4));
+}
+
+extern "C" {
+extern "C" {
+void mc_derive_bwt(const void* sa_full, i32 is64, const unsigned char* text,
+                   i64 n, uint32_t* bwt_words, i64* ckpt, i64* aux) {
+  if (is64) derive_bwt_stream<i64>((const i64*)sa_full, text, n, bwt_words,
+                                   ckpt, aux);
+  else derive_bwt_stream<i32>((const i32*)sa_full, text, n, bwt_words,
+                              ckpt, aux);
 }
 
 // 3-step occ table build (see index/occ3.py for layout + conventions):
@@ -2347,6 +2421,61 @@ void mc_build_occ3(const i32* sa, const unsigned char* text, i64 n,
       if (key(mid) < dk) lo = mid + 1; else hi = mid;
     }
     c3_first[d] = (i32)lo;
+  }
+}
+
+// int64 / sharded variant for >2^31-row texts (human-scale fwd+rc;
+// ref index types are uint64 end to end, src/BWT_Index/bwt.h:44).
+// Row counts are stored RELATIVE to the owning shard's base counts so
+// the 288 B row stays int32 (a shard slice spans < 2^31 rows); the
+// absolute count is base3[shard][d] + row[d], recombined on device in
+// the x64 kernels. words_per_shard: occ3 words per shard (<=0 => one
+// shard, absolute rows). base3: i64[n_shards*64]; c3_first: i64[64].
+void mc_build_occ3_64(const i64* sa, const unsigned char* text, i64 n,
+                      i32* rows, i64 nw3, i64 words_per_shard,
+                      i64* base3, i64* c3_first, i64* aux) {
+  i64 wps = words_per_shard > 0 ? words_per_shard : nw3;
+  i64 cnt[64] = {0};
+  const i64* base = base3;   // current shard's base counts
+  aux[0] = aux[1] = -1;
+  for (i64 w = 0; w < nw3; w++) {
+    if (w % wps == 0) {      // new shard: snapshot base counts
+      i64* b = base3 + (w / wps) * 64;
+      memcpy(b, cnt, sizeof(cnt));
+      base = b;
+    }
+    i32* row = rows + w * 72;
+    for (int d = 0; d < 64; d++) row[d] = (i32)(cnt[d] - base[d]);
+    unsigned char* syms = (unsigned char*)(row + 64);
+    for (i64 q = 0; q < 16; q++) {
+      i64 j = w * 16 + q;
+      int sym = 255;
+      if (j <= n) {
+        i64 p = sa[j];
+        if (p == 1) aux[0] = j;
+        if (p == 2) aux[1] = j;
+        if (p >= 3)
+          sym = text[p - 3] * 16 + text[p - 2] * 4 + text[p - 1];
+      }
+      syms[q] = (unsigned char)sym;
+      if (sym < 64) cnt[sym]++;
+    }
+  }
+  auto key = [&](i64 j) -> int {
+    i64 p = sa[j];
+    int k0 = p < n ? text[p] + 1 : 0;
+    int k1 = p + 1 < n ? text[p + 1] + 1 : 0;
+    int k2 = p + 2 < n ? text[p + 2] + 1 : 0;
+    return k0 * 25 + k1 * 5 + k2;
+  };
+  for (int d = 0; d < 64; d++) {
+    int dk = ((d >> 4) + 1) * 25 + (((d >> 2) & 3) + 1) * 5 + ((d & 3) + 1);
+    i64 lo = 0, hi = n + 1;
+    while (lo < hi) {
+      i64 mid = (lo + hi) >> 1;
+      if (key(mid) < dk) lo = mid + 1; else hi = mid;
+    }
+    c3_first[d] = lo;
   }
 }
 }  // extern "C"

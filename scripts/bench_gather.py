@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 STEPS = 48          # ~ the seed scan's lockstep iteration count
 G = 32768           # lanes (reads) per gather, = production batch
-REPS = 5
+REPS = 3
 
 
 def bench_one(width: int, table_mb: int) -> dict:
@@ -79,11 +79,23 @@ def main() -> None:
     _ = np.asarray(jnp.zeros(8))
 
     rows = []
-    for table_mb in (16, 256, 1024):
-        for width in (8, 16, 32, 64, 72, 128, 256, 272):
-            r = bench_one(width, table_mb)
-            rows.append(r)
-            print(json.dumps(r), file=sys.stderr)
+    cfg = os.environ.get(
+        "MC_GATHER_CONFIGS",
+        "256:8,256:16,256:32,256:64,256:72,256:128,256:272,"
+        "1024:8,1024:72,1024:272,2048:72")
+    prior = os.environ.get("MC_GATHER_MERGE")
+    if prior and os.path.exists(prior):
+        with open(prior) as f:
+            rows = json.load(f)["rows"]
+    done = {(r["table_mb"], r["row_bytes"]) for r in rows}
+    for item in cfg.split(","):
+        mb, width = (int(x) for x in item.split(":"))
+        if any(tm >= mb * 0.5 and tm <= mb and rb == width * 4
+               for tm, rb in done):
+            continue
+        r = bench_one(width, mb)
+        rows.append(r)
+        print(json.dumps(r), file=sys.stderr)
 
     # occ3 (72 int32 = 288 B, 2 gathers / 3 bases) vs hypothetical occ4
     # (4^4 counts + syms ~ 272 int32 = 1088 B, 2 gathers / 4 bases),
