@@ -67,6 +67,8 @@ def main():
         cfg.fold_evidence = os.environ["MC_FOLD_EVIDENCE"] == "1"
     if os.environ.get("MC_STREAM_BATCH"):
         cfg.stream_batch_size = int(os.environ["MC_STREAM_BATCH"])
+    if os.environ.get("MC_COMPACT_FACTOR"):
+        cfg.compact_factor = int(os.environ["MC_COMPACT_FACTOR"])
     engine = make_engine(idx, cfg)
     assert engine.backend is not None and engine.native is not None
 

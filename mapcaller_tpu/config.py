@@ -57,6 +57,10 @@ class Config:
     use_native: bool = True                     # C++ chunk processor (post-seeding)
     batch_size: int = 8192                      # reads per device batch
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
+    compact_factor: int = 1                     # seed-scan lane compaction:
+                                                # lanes = batch/compact_factor;
+                                                # >1 costs ~mean trajectory
+                                                # instead of max
     device_chain: bool = True                   # device chaining/classification
     index_shards: int = 0                       # >1: genome-shard the occ3
                                                 # table over an N-device mesh

@@ -191,6 +191,182 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
     return n_seeds, s_rpos, s_len, s_x0, s_freq, overflow
 
 
+def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
+                        max_seeds, gather_fn=None, sync_axis=None,
+                        idx_dtype=None):
+    """Lane-compacted greedy-MEM scan: `lanes` hardware lanes stream
+    through B_total reads, retiring finished lanes into the next queued
+    read every iteration — so the lockstep batch costs ~the MEAN lane
+    trajectory instead of the MAX (measured 37 vs 56 iterations on the
+    headline workload, scripts/measure_lane_traj.py). Per-read outputs
+    are identical to _seed_scan3 (scatter-written into [B_total] tables
+    as each read finishes), so the downstream SA-resolve / chain /
+    classify stages are unchanged. Ref hot loop being matched:
+    src/bwt_search.cpp:121-164.
+
+    words_all: uint32[B_total, nwords] packed read words (LE crumb
+    order, word w covers read positions [16w, 16w+16)).
+    rlens_all: int32[B_total]."""
+    from .fm3_device import gather3, step1_update, step3_update
+    if gather_fn is None:
+        gather_fn = gather3
+    if idx_dtype is None:
+        idx_dtype = jnp.int32
+    L2 = fm3.L2
+    primary = fm3.primary
+    S = max_seeds
+    nwords = words_all.shape[1]
+    # dump row B_total: rlen 0 -> instantly done, never emits
+    words_pad = jnp.concatenate(
+        [words_all, jnp.zeros((1, nwords), words_all.dtype)], axis=0)
+    rlens_pad = jnp.concatenate(
+        [rlens_all, jnp.zeros(1, rlens_all.dtype)])
+    DROP = B_total + 1          # out-of-range scatter index == no write
+
+    def step(state):
+        (qhead, rd, rlen_l, pos, in_ext, replay, start, ext_pos,
+         x0, x1, x2, ns_l, ovf_l,
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+
+        # ---- retire finished lanes: write back + refill from queue ----
+        done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
+        wb = jnp.where(done, rd, DROP)
+        n_seeds = n_seeds.at[wb].set(ns_l, mode="drop")
+        overflow = overflow.at[wb].set(ovf_l, mode="drop")
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        newrd = qhead + rank
+        take = done & (newrd < B_total)
+        qhead = qhead + take.sum()
+        rd = jnp.where(take, newrd, rd)
+        rlen_l = jnp.where(take, rlens_pad[jnp.clip(newrd, 0, B_total)],
+                           rlen_l)
+        pos = jnp.where(take, 0, pos)
+        replay = replay & ~take
+        ns_l = jnp.where(take, 0, ns_l)
+        ovf_l = ovf_l & ~take
+
+        # ---- one _seed_scan3 step over the (refilled) lanes -----------
+        done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
+        active = ~done
+
+        def codes_l(p):
+            p = jnp.minimum(p, max_len - 1)
+            w = words_pad[rd, p >> 4]
+            return ((w >> ((p.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        cpos = codes_l(pos)
+        start_new = active & (~in_ext)
+        x0_init = L2[cpos & 3] + 1
+        x1_init = L2[(3 - cpos) & 3] + 1
+        x2_init = L2[(cpos & 3) + 1] - L2[cpos & 3]
+        ext_init = pos + 1
+
+        ext_active = active & in_ext
+        at_end = ext_active & (ext_pos >= rlen_l)
+        extending = ext_active & ~at_end
+        use3 = extending & (~replay) & (ext_pos + 3 <= rlen_l)
+        use1 = extending & ~use3
+
+        e0 = codes_l(ext_pos)
+        e1 = codes_l(ext_pos + 1)
+        e2 = codes_l(ext_pos + 2)
+
+        k = jnp.where(extending, x1, 0)
+        l = jnp.where(extending, x1 + x2, 0)
+        gk = gather_fn(fm3, k)
+        gl = gather_fn(fm3, l)
+        n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2,
+                                           gk, gl)
+        n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
+
+        fail3 = use3 & (n3_x2 <= 0)
+        ok3 = use3 & ~fail3
+        fail1 = use1 & (n1_x2 <= 0)
+        ok1 = use1 & ~fail1
+
+        finalize = at_end | fail1
+        slen = ext_pos - start
+        good = finalize & (slen >= MIN_SEED_LEN) & (x2 <= OCC_THR)
+        slot = jnp.minimum(ns_l, S - 1)
+        ovf_l = ovf_l | (finalize & good & (ns_l >= S))
+
+        er = jnp.where(good, rd, DROP)
+        s_rpos = s_rpos.at[er, slot].set(start, mode="drop")
+        s_len = s_len.at[er, slot].set(slen, mode="drop")
+        s_x0 = s_x0.at[er, slot].set(x0, mode="drop")
+        s_freq = s_freq.at[er, slot].set(x2, mode="drop")
+        ns_l = jnp.where(good, jnp.minimum(ns_l + 1, S), ns_l)
+
+        pos = jnp.where(finalize, start + slen + 1, pos)
+        x0 = jnp.where(start_new, x0_init,
+             jnp.where(ok3, n3_x0, jnp.where(ok1, n1_x0, x0)))
+        x1 = jnp.where(start_new, x1_init,
+             jnp.where(ok3, n3_x1, jnp.where(ok1, n1_x1, x1)))
+        x2 = jnp.where(start_new, x2_init,
+             jnp.where(ok3, n3_x2, jnp.where(ok1, n1_x2, x2)))
+        start = jnp.where(start_new, pos, start)
+        ext_pos = jnp.where(start_new, ext_init,
+                  jnp.where(ok3, ext_pos + 3,
+                  jnp.where(ok1, ext_pos + 1, ext_pos)))
+        in_ext = jnp.where(start_new, True,
+                           jnp.where(finalize, False, in_ext))
+        replay = jnp.where(finalize, False,
+                 jnp.where(start_new, False, replay | fail3))
+
+        return (qhead, rd, rlen_l, pos, in_ext, replay, start, ext_pos,
+                x0, x1, x2, ns_l, ovf_l,
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
+
+    lane0 = jnp.arange(lanes, dtype=jnp.int32)
+    rd0 = jnp.where(lane0 < B_total, lane0, B_total)
+    z = jnp.zeros(lanes, dtype=jnp.int32) + rlens_pad[rd0] * 0
+    zb = z != 0
+    zi = z.astype(idx_dtype)
+    qhead0 = jnp.minimum(jnp.int32(lanes), jnp.int32(B_total))
+    n_seeds0 = jnp.zeros(B_total + 1, jnp.int32) + (rlens_all[0] * 0)
+    s32 = jnp.zeros((B_total + 1, S), jnp.int32) + n_seeds0[:, None]
+    si = jnp.zeros((B_total + 1, S), idx_dtype) + n_seeds0[:, None
+                                                           ].astype(idx_dtype)
+    ovf0 = n_seeds0 != 0
+    state = (qhead0, rd0, rlens_pad[rd0], z, zb, zb, z, z,
+             zi, zi, zi, z, zb,
+             n_seeds0, s32, s32, si, si, ovf0)
+
+    base = (3 * max_len) // 2 + 2 * max_seeds + 8
+    n_iters = base * (-(-B_total // lanes)) + base
+    UNROLL = 8
+    n_blocks = (n_iters + UNROLL - 1) // UNROLL
+
+    def block_cond(carry):
+        i, s = carry
+        qhead, rd, rlen_l, pos, in_ext = s[0], s[1], s[2], s[3], s[4]
+        busy = jnp.any(in_ext | (pos < rlen_l - MIN_SEED_LEN))
+        act = busy | (qhead < B_total)
+        if sync_axis is not None:
+            act = jax.lax.psum(act.astype(jnp.int32), sync_axis) > 0
+        return (i < n_blocks) & act
+
+    def block_body(carry):
+        i, s = carry
+        for _ in range(UNROLL):
+            s = step(s)
+        return i + 1, s
+
+    _, state = jax.lax.while_loop(block_cond, block_body,
+                                  (jnp.int32(0), state))
+    (_, rd, rlen_l, pos, in_ext, _, _, _, _, _, _, ns_l, ovf_l,
+     n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+    # final write-back (the in-loop write-back runs at the TOP of the
+    # next iteration, which the exit skips)
+    done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
+    wb = jnp.where(done, rd, B_total + 1)
+    n_seeds = n_seeds.at[wb].set(ns_l, mode="drop")
+    overflow = overflow.at[wb].set(ovf_l, mode="drop")
+    return (n_seeds[:B_total], s_rpos[:B_total], s_len[:B_total],
+            s_x0[:B_total], s_freq[:B_total], overflow[:B_total])
+
+
 def build_seed_kernel_packed(fm_template, max_len: int,
                              batch: int, hits_per_read_x4: int = 9):
     """Transfer-optimized batched seeding (tunnel platforms pay ~30 ms
@@ -255,7 +431,13 @@ def build_seed_kernel_packed(fm_template, max_len: int,
 
         kf = key_fn if (use_occ3 and getattr(fm_template, "pfx_k", 0)) else None
 
-        if use_occ3:
+        if use_occ3 and compact_lanes and compact_lanes < B:
+            # lane-compacted scan (cost ~ mean trajectory, not max);
+            # prefix-skip is lockstep-only, so it is bypassed here
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = \
+                _seed_scan3_compact(fm, words_le, rlens, B, compact_lanes,
+                                    max_len, max_seeds)
+        elif use_occ3:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
                 fm, codes_fn, rlens, B, max_len, max_seeds, key_fn=kf)
         else:
@@ -350,7 +532,7 @@ def build_seed_kernel_packed(fm_template, max_len: int,
 
 def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
                             slow_hits_x4: int = 5, with_planes: bool = False,
-                            pair_end: bool = False):
+                            pair_end: bool = False, compact_lanes: int = 0):
     """Seeding + device chaining/classification in one jitted graph
     (see ops/chain_device.py). Output int32 vector:
 
@@ -419,7 +601,13 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
 
         kf = key_fn if (use_occ3 and getattr(fm_template, "pfx_k", 0)) else None
 
-        if use_occ3:
+        if use_occ3 and compact_lanes and compact_lanes < B:
+            # lane-compacted scan (cost ~ mean trajectory, not max);
+            # prefix-skip is lockstep-only, so it is bypassed here
+            (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = \
+                _seed_scan3_compact(fm, words_le, rlens, B, compact_lanes,
+                                    max_len, max_seeds)
+        elif use_occ3:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
                 fm, codes_fn, rlens, B, max_len, max_seeds, key_fn=kf)
         else:

@@ -185,13 +185,16 @@ class DeviceBackend:
                           with_planes: bool = False,
                           pair_end: bool = False):
         B = batch or self.batch
-        key = ("chain", bucket, tier, B, with_planes, pair_end)
+        cf = max(1, int(getattr(self.cfg, "compact_factor", 1)))
+        lanes = (B // cf) if (cf > 1 and self._fm3_ok and B % cf == 0) else 0
+        key = ("chain", bucket, tier, B, with_planes, pair_end, lanes)
         if key not in self._kernels:
             from ..ops.fm_search import build_seed_chain_kernel
             fm = self.fm3 if self._fm3_ok else self.fm
             self._kernels[key] = build_seed_chain_kernel(
                 fm, self.chain_ctx, bucket, B, slow_hits_x4=tier,
-                with_planes=with_planes, pair_end=pair_end)
+                with_planes=with_planes, pair_end=pair_end,
+                compact_lanes=lanes)
         return self._kernels[key]
 
     @property

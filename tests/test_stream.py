@@ -90,3 +90,24 @@ def test_stream_multiple_batches(toy_idx):
                        os.path.join(DATA, "sub_r2.fq.gz"))
     golden = read_lines(os.path.join(DATA, "sub_ref.sam.gz"))
     assert sam == golden
+
+
+def test_stream_pe_compact_matches_golden(toy_idx, tmp_path):
+    """Production path with seed-scan lane compaction (compact_factor=2,
+    lanes = batch/2) must stay byte-identical to the golden SAM/VCF."""
+    cfg = Config(sam_file="x", vcf_file=str(tmp_path / "outc.vcf"),
+                 batch_size=256, stream_batch_size=256, max_read_len=128,
+                 compact_factor=2)
+    engine, sam = _run(toy_idx, cfg,
+                       os.path.join(DATA, "sub_r1.fq.gz"),
+                       os.path.join(DATA, "sub_r2.fq.gz"))
+    golden = read_lines(os.path.join(DATA, "sub_ref.sam.gz"))
+    assert sam == golden
+
+    from mapcaller_tpu.runner import run_calling
+    run_calling(engine, cfg, "test")
+    got = [l for l in read_lines(cfg.vcf_file)
+           if not l.startswith("##command_line") and not l.startswith("##reference")]
+    want = [l for l in read_lines(os.path.join(DATA, "sub_ref.vcf"))
+            if not l.startswith("##command_line") and not l.startswith("##reference")]
+    assert got == want
