@@ -195,14 +195,23 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
                         max_seeds, gather_fn=None, sync_axis=None,
                         idx_dtype=None):
     """Lane-compacted greedy-MEM scan: `lanes` hardware lanes stream
-    through B_total reads, retiring finished lanes into the next queued
-    read every iteration — so the lockstep batch costs ~the MEAN lane
+    through B_total reads, so the lockstep batch costs ~the MEAN lane
     trajectory instead of the MAX (measured 37 vs 56 iterations on the
-    headline workload, scripts/measure_lane_traj.py). Per-read outputs
-    are identical to _seed_scan3 (scatter-written into [B_total] tables
-    as each read finishes), so the downstream SA-resolve / chain /
-    classify stages are unchanged. Ref hot loop being matched:
-    src/bwt_search.cpp:121-164.
+    headline workload, scripts/measure_lane_traj.py). Ref hot loop
+    being matched: src/bwt_search.cpp:121-164.
+
+    Design: the inner 16-step blocks are IDENTICAL in cost to the
+    lockstep scan — per-lane read words live in lane state (no indirect
+    codes fetch) and seeds emit into per-LANE tables with the same cheap
+    onehot writes. The expensive machinery (flush finished lanes' seed
+    rows to the per-READ output tables, refill from the queue, gather
+    the new reads' words) runs once per block, so its scatters amortize
+    16x. A first cut that retired lanes every iteration spent ~2 ms of
+    scatter/indirection per step and lost 2.6x to lockstep
+    (SCAN_BENCH.json) — do not resurrect it.
+
+    Per-read outputs are bit-identical to _seed_scan3, so downstream
+    SA-resolve / chain / classify stages are unchanged.
 
     words_all: uint32[B_total, nwords] packed read words (LE crumb
     order, word w covers read positions [16w, 16w+16)).
@@ -222,36 +231,20 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
     rlens_pad = jnp.concatenate(
         [rlens_all, jnp.zeros(1, rlens_all.dtype)])
     DROP = B_total + 1          # out-of-range scatter index == no write
+    widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
 
     def step(state):
-        (qhead, rd, rlen_l, pos, in_ext, replay, start, ext_pos,
-         x0, x1, x2, ns_l, ovf_l,
+        (qhead, rd, rlen_l, words_l, pos, in_ext, replay, start, ext_pos,
+         x0, x1, x2, ns_l, ovf_l, lrpos, llen, lx0, lfreq,
          n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
-
-        # ---- retire finished lanes: write back + refill from queue ----
-        done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
-        wb = jnp.where(done, rd, DROP)
-        n_seeds = n_seeds.at[wb].set(ns_l, mode="drop")
-        overflow = overflow.at[wb].set(ovf_l, mode="drop")
-        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
-        newrd = qhead + rank
-        take = done & (newrd < B_total)
-        qhead = qhead + take.sum()
-        rd = jnp.where(take, newrd, rd)
-        rlen_l = jnp.where(take, rlens_pad[jnp.clip(newrd, 0, B_total)],
-                           rlen_l)
-        pos = jnp.where(take, 0, pos)
-        replay = replay & ~take
-        ns_l = jnp.where(take, 0, ns_l)
-        ovf_l = ovf_l & ~take
-
-        # ---- one _seed_scan3 step over the (refilled) lanes -----------
         done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
         active = ~done
 
         def codes_l(p):
             p = jnp.minimum(p, max_len - 1)
-            w = words_pad[rd, p >> 4]
+            wi = (p >> 4)[:, None]
+            w = jnp.where(widx == wi, words_l, 0).sum(axis=1,
+                                                      dtype=jnp.uint32)
             return ((w >> ((p.astype(jnp.uint32) & 15) * 2)) & 3
                     ).astype(jnp.int32)
 
@@ -291,11 +284,16 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
         slot = jnp.minimum(ns_l, S - 1)
         ovf_l = ovf_l | (finalize & good & (ns_l >= S))
 
-        er = jnp.where(good, rd, DROP)
-        s_rpos = s_rpos.at[er, slot].set(start, mode="drop")
-        s_len = s_len.at[er, slot].set(slen, mode="drop")
-        s_x0 = s_x0.at[er, slot].set(x0, mode="drop")
-        s_freq = s_freq.at[er, slot].set(x2, mode="drop")
+        onehot = (jnp.arange(S, dtype=jnp.int32)[None, :] == slot[:, None]
+                  ) & good[:, None]
+
+        def put(arr, val):
+            return jnp.where(onehot, val[:, None], arr)
+
+        lrpos = put(lrpos, start)
+        llen = put(llen, slen)
+        lx0 = put(lx0, x0)
+        lfreq = put(lfreq, x2)
         ns_l = jnp.where(good, jnp.minimum(ns_l + 1, S), ns_l)
 
         pos = jnp.where(finalize, start + slen + 1, pos)
@@ -314,8 +312,47 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
         replay = jnp.where(finalize, False,
                  jnp.where(start_new, False, replay | fail3))
 
-        return (qhead, rd, rlen_l, pos, in_ext, replay, start, ext_pos,
-                x0, x1, x2, ns_l, ovf_l,
+        return (qhead, rd, rlen_l, words_l, pos, in_ext, replay, start,
+                ext_pos, x0, x1, x2, ns_l, ovf_l, lrpos, llen, lx0, lfreq,
+                n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
+
+    def compact(state):
+        """Flush finished lanes' per-lane seed rows into the per-read
+        tables, then refill from the queue (runs once per block)."""
+        (qhead, rd, rlen_l, words_l, pos, in_ext, replay, start, ext_pos,
+         x0, x1, x2, ns_l, ovf_l, lrpos, llen, lx0, lfreq,
+         n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
+        done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
+        valid = rd < B_total
+        flush = done & valid
+        wb = jnp.where(flush, rd, DROP)
+        n_seeds = n_seeds.at[wb].set(ns_l, mode="drop")
+        overflow = overflow.at[wb].set(ovf_l, mode="drop")
+        s_rpos = s_rpos.at[wb].set(lrpos, mode="drop")
+        s_len = s_len.at[wb].set(llen, mode="drop")
+        s_x0 = s_x0.at[wb].set(lx0, mode="drop")
+        s_freq = s_freq.at[wb].set(lfreq, mode="drop")
+
+        rank = jnp.cumsum(flush.astype(jnp.int32)) - 1
+        newrd = qhead + rank
+        take = flush & (newrd < B_total)
+        qhead = qhead + take.sum()
+        nr = jnp.clip(newrd, 0, B_total)
+        rd = jnp.where(take, newrd, jnp.where(flush, B_total, rd))
+        rlen_l = jnp.where(take, rlens_pad[nr], jnp.where(flush, 0, rlen_l))
+        words_l = jnp.where(take[:, None], words_pad[nr], words_l)
+        pos = jnp.where(take, 0, pos)
+        in_ext = in_ext & ~take
+        replay = replay & ~take
+        ns_l = jnp.where(take, 0, ns_l)
+        ovf_l = ovf_l & ~take
+        tk = take[:, None]
+        lrpos = jnp.where(tk, 0, lrpos)
+        llen = jnp.where(tk, 0, llen)
+        lx0 = jnp.where(tk, 0, lx0)
+        lfreq = jnp.where(tk, 0, lfreq)
+        return (qhead, rd, rlen_l, words_l, pos, in_ext, replay, start,
+                ext_pos, x0, x1, x2, ns_l, ovf_l, lrpos, llen, lx0, lfreq,
                 n_seeds, s_rpos, s_len, s_x0, s_freq, overflow)
 
     lane0 = jnp.arange(lanes, dtype=jnp.int32)
@@ -324,23 +361,27 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
     zb = z != 0
     zi = z.astype(idx_dtype)
     qhead0 = jnp.minimum(jnp.int32(lanes), jnp.int32(B_total))
-    n_seeds0 = jnp.zeros(B_total + 1, jnp.int32) + (rlens_all[0] * 0)
-    s32 = jnp.zeros((B_total + 1, S), jnp.int32) + n_seeds0[:, None]
-    si = jnp.zeros((B_total + 1, S), idx_dtype) + n_seeds0[:, None
+    zvar = rlens_all[0] * 0
+    n_seeds0 = jnp.zeros(B_total + 1, jnp.int32) + zvar
+    g32 = jnp.zeros((B_total + 1, S), jnp.int32) + n_seeds0[:, None]
+    gi = jnp.zeros((B_total + 1, S), idx_dtype) + n_seeds0[:, None
                                                            ].astype(idx_dtype)
     ovf0 = n_seeds0 != 0
-    state = (qhead0, rd0, rlens_pad[rd0], z, zb, zb, z, z,
-             zi, zi, zi, z, zb,
-             n_seeds0, s32, s32, si, si, ovf0)
+    l32 = jnp.zeros((lanes, S), jnp.int32) + z[:, None]
+    li = jnp.zeros((lanes, S), idx_dtype) + zi[:, None]
+    state = (qhead0, rd0, rlens_pad[rd0], words_pad[rd0], z, zb, zb, z, z,
+             zi, zi, zi, z, zb, l32, l32, li, li,
+             n_seeds0, g32, g32, gi, gi, ovf0)
 
     base = (3 * max_len) // 2 + 2 * max_seeds + 8
     n_iters = base * (-(-B_total // lanes)) + base
-    UNROLL = 8
+    import os as _os
+    UNROLL = int(_os.environ.get("MC_COMPACT_UNROLL", "16"))
     n_blocks = (n_iters + UNROLL - 1) // UNROLL
 
     def block_cond(carry):
         i, s = carry
-        qhead, rd, rlen_l, pos, in_ext = s[0], s[1], s[2], s[3], s[4]
+        qhead, rd, rlen_l, _w, pos, in_ext = s[0], s[1], s[2], s[3], s[4], s[5]
         busy = jnp.any(in_ext | (pos < rlen_l - MIN_SEED_LEN))
         act = busy | (qhead < B_total)
         if sync_axis is not None:
@@ -351,18 +392,14 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
         i, s = carry
         for _ in range(UNROLL):
             s = step(s)
+        s = compact(s)
         return i + 1, s
 
     _, state = jax.lax.while_loop(block_cond, block_body,
                                   (jnp.int32(0), state))
-    (_, rd, rlen_l, pos, in_ext, _, _, _, _, _, _, ns_l, ovf_l,
+    state = compact(state)      # flush lanes that finished in the last block
+    (_, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _,
      n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = state
-    # final write-back (the in-loop write-back runs at the TOP of the
-    # next iteration, which the exit skips)
-    done = (~in_ext) & (pos >= rlen_l - MIN_SEED_LEN)
-    wb = jnp.where(done, rd, B_total + 1)
-    n_seeds = n_seeds.at[wb].set(ns_l, mode="drop")
-    overflow = overflow.at[wb].set(ovf_l, mode="drop")
     return (n_seeds[:B_total], s_rpos[:B_total], s_len[:B_total],
             s_x0[:B_total], s_freq[:B_total], overflow[:B_total])
 
