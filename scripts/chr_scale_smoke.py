@@ -75,8 +75,13 @@ def main():
     from mapcaller_tpu.pipeline.stream import run_stream_mapping
     from mapcaller_tpu.runner import make_engine, run_calling
 
+    bs = int(os.environ.get("MC_CHR_BATCH", 8192))
     cfg = Config(vcf_file=f"{DIR}/out.vcf", log_file=f"{DIR}/job.log",
-                 batch_size=8192, max_read_len=128)
+                 batch_size=bs, stream_batch_size=max(bs, 32768)
+                 if os.environ.get("MC_CHR_BATCH") else 32768,
+                 max_read_len=128)
+    out["batch_size"] = bs
+    out["stream_batch_size"] = cfg.stream_batch_size
     engine = make_engine(idx, cfg)
     out["device_kernel"] = "occ3" if engine.backend._fm3_ok else "occ1-fallback"
     out["full_sa_in_hbm"] = bool(engine.backend.fm.has_full_sa)
