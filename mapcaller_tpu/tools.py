@@ -59,5 +59,10 @@ def observe(genome: Genome, profile: Profile, ref_chars, obs_pos: int,
                                obs_pos - window, obs_pos + window, out)
         show_ind_seq(profile, obs_pos - window, obs_pos + window, out)
     if obr_beg >= 0 and obr_end >= obr_beg:
+        # byte-parity with the reference's re-enabled -obr call site
+        # (VariantCalling.cpp:707: Profile[beg-end] header + the
+        # ShowVariationProfile dump); the indel-evidence dump follows as
+        # an extension after the reference's closing blank lines
+        out.write(f"Profile[{obr_beg}-{obr_end}]\n")
         show_variation_profile(genome, profile, ref_chars, obr_beg, obr_end, out)
         show_ind_seq(profile, obr_beg, obr_end, out)

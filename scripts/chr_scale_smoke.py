@@ -14,9 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DIR = "/tmp/chrscale2"
-L = 60_000_000
-N_READS = 100_000
+DIR = os.environ.get("MC_CHR_DIR", "/tmp/chrscale2")
+L = int(os.environ.get("MC_CHR_L", 60_000_000))
+N_READS = int(os.environ.get("MC_CHR_READS", 100_000))
+MAP_ONLY = bool(os.environ.get("MC_CHR_MAP_ONLY"))
 
 
 def rss_gb():
@@ -77,6 +78,7 @@ def main():
 
     bs = int(os.environ.get("MC_CHR_BATCH", 8192))
     cfg = Config(vcf_file=f"{DIR}/out.vcf", log_file=f"{DIR}/job.log",
+                 vcf_output=not MAP_ONLY,
                  batch_size=bs, stream_batch_size=max(bs, 32768)
                  if os.environ.get("MC_CHR_BATCH") else 32768,
                  max_read_len=128)
@@ -98,15 +100,24 @@ def main():
     out["mapped_pct"] = round(100.0 * engine.stats.total_mapped
                               / max(engine.stats.total_reads, 1), 2)
     # steady-state second pass (drop the warm engine first: two sets of
-    # 60 Mb evidence planes would double HBM pressure)
+    # 60 Mb evidence planes would double HBM pressure). Map and call are
+    # timed separately: the call/finalize leg is proportional to GENOME
+    # SIZE, not reads, so folding it into reads/s at a small read count
+    # manufactures a fake throughput cliff (VERDICT r2 weak #4).
     backend = engine.backend
     engine = MappingEngine(idx, cfg, backend=backend)
     t0 = time.time()
     run_stream_mapping(engine, cfg, t0)
+    t1 = time.time()
     engine.finalize()
-    run_calling(engine, cfg, "chr-scale-smoke")
+    if not MAP_ONLY:
+        run_calling(engine, cfg, "chr-scale-smoke")
     dt = time.time() - t0
+    out["steady_map_s"] = round(t1 - t0, 2)
+    out["steady_finalize_call_s"] = round(dt - (t1 - t0), 2)
     out["steady_map_call_s"] = round(dt, 1)
+    out["steady_map_reads_per_s"] = round(
+        engine.stats.total_reads / (t1 - t0), 1)
     out["steady_reads_per_s"] = round(engine.stats.total_reads / dt, 1)
     out["rss_peak_gb"] = round(rss_gb(), 2)
     try:
