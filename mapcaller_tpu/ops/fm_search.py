@@ -405,7 +405,8 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
 
 
 def build_seed_kernel_packed(fm_template, max_len: int,
-                             batch: int, hits_per_read_x4: int = 9):
+                             batch: int, hits_per_read_x4: int = 9,
+                             compact_lanes: int = 0):
     """Transfer-optimized batched seeding (tunnel platforms pay ~30 ms
     per D2H plus ~30 MB/s, so every byte counts):
 
@@ -472,7 +473,7 @@ def build_seed_kernel_packed(fm_template, max_len: int,
             # lane-compacted scan (cost ~ mean trajectory, not max);
             # prefix-skip is lockstep-only, so it is bypassed here
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = \
-                _seed_scan3_compact(fm, words_le, rlens, B, compact_lanes,
+                _seed_scan3_compact(fm, words, rlens, B, compact_lanes,
                                     max_len, max_seeds)
         elif use_occ3:
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(

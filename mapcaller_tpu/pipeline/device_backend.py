@@ -105,12 +105,14 @@ class DeviceBackend:
     def _packed_kernel_for(self, bucket: int, tier: int = 9,
                            batch: Optional[int] = None):
         B = batch or self.batch
-        key = ("packed", bucket, tier, B)
+        cf = max(1, int(getattr(self.cfg, "compact_factor", 1)))
+        lanes = (B // cf) if (cf > 1 and self._fm3_ok and B % cf == 0) else 0
+        key = ("packed", bucket, tier, B, lanes)
         if key not in self._kernels:
             from ..ops.fm_search import build_seed_kernel_packed
             fm = self.fm3 if self._fm3_ok else self.fm
             self._kernels[key] = build_seed_kernel_packed(
-                fm, bucket, B, hits_per_read_x4=tier)
+                fm, bucket, B, hits_per_read_x4=tier, compact_lanes=lanes)
         return self._kernels[key]
 
     def submit_packed(self, packed: np.ndarray, rlens: np.ndarray,
