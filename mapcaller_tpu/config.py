@@ -65,6 +65,9 @@ class Config:
     index_shards: int = 0                       # >1: genome-shard the occ3
                                                 # table over an N-device mesh
                                                 # (human-scale index path)
+    big_x64: bool = False                       # force the x64 big-genome
+                                                # sharded kernels (auto when
+                                                # fwd+rc text >= 2^31 rows)
     fold_evidence: bool = False                 # evidence apply inside the
                                                 # chain dispatch (speculative,
                                                 # sparse host-reject correction)

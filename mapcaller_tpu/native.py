@@ -236,7 +236,7 @@ class NativeEngine:
         self.lib.mc_process_batch_cls(
             self.ctx, slot, int(pair_end), int(fastq),
             _ptr(np.ascontiguousarray(cls, dtype=np.int32)),
-            _ptr(np.ascontiguousarray(pd, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(pd, dtype=np.int64)),
             _ptr(np.ascontiguousarray(mm, dtype=np.int32)),
             _ptr(np.ascontiguousarray(rplast, dtype=np.int32)),
             _ptr(np.ascontiguousarray(cscore, dtype=np.int32)),
@@ -257,7 +257,7 @@ class NativeEngine:
         n_dp = self.lib.mc_prepare_batch_cls(
             self.ctx, slot, int(pair_end), int(fastq),
             _ptr(np.ascontiguousarray(cls, dtype=np.int32)),
-            _ptr(np.ascontiguousarray(pd, dtype=np.int32)),
+            _ptr(np.ascontiguousarray(pd, dtype=np.int64)),
             _ptr(np.ascontiguousarray(mm, dtype=np.int32)),
             _ptr(np.ascontiguousarray(rplast, dtype=np.int32)),
             _ptr(np.ascontiguousarray(cscore, dtype=np.int32)),

@@ -108,6 +108,12 @@ def classify_reads(ctx: ChainCtx, read_words: jnp.ndarray, rlens: jnp.ndarray,
     B = read_words.shape[0]
     H = hit_read.shape[0]
     INT_MAX = jnp.int32(0x7FFFFFFF)
+    # position dtype follows hit_loc: int32 on the standard path, int64
+    # on the big-genome x64 path where diagonals exceed 2^31 (the
+    # reference's coordinates are bwtint_t = uint64 end to end, ref:
+    # src/BWT_Index/bwt.h:44)
+    pdt = hit_loc.dtype
+    PD_MAX = jnp.asarray(jnp.iinfo(pdt).max, dtype=pdt)
 
     # ---- scatter kept hits into per-read K-slot windows ------------------
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -119,9 +125,9 @@ def classify_reads(ctx: ChainCtx, read_words: jnp.ndarray, rlens: jnp.ndarray,
     ok_slot = keep & (within >= 0) & (within < K_HITS)
     row = jnp.where(ok_slot, hit_read, B)
     col = jnp.where(ok_slot, within, 0)
-    pd_flat = (hit_loc - hit_rpos).astype(jnp.int32)
-    s_pd = jnp.full((B + 1, K_HITS), INT_MAX, jnp.int32).at[row, col].set(
-        jnp.where(ok_slot, pd_flat, INT_MAX), mode="drop")[:B]
+    pd_flat = hit_loc - hit_rpos.astype(pdt)
+    s_pd = jnp.full((B + 1, K_HITS), PD_MAX, pdt).at[row, col].set(
+        jnp.where(ok_slot, pd_flat, PD_MAX), mode="drop")[:B]
     s_rp = jnp.zeros((B + 1, K_HITS), jnp.int32).at[row, col].set(
         jnp.where(ok_slot, hit_rpos, 0), mode="drop")[:B]
     s_ln = jnp.zeros((B + 1, K_HITS), jnp.int32).at[row, col].set(
@@ -130,7 +136,7 @@ def classify_reads(ctx: ChainCtx, read_words: jnp.ndarray, rlens: jnp.ndarray,
 
     has_hits = nkept > 0
     too_many = nkept > K_HITS
-    valid_slot = s_pd != INT_MAX
+    valid_slot = s_pd != PD_MAX
     pd0 = s_pd[:, 0]
     one_diag = (jnp.where(valid_slot, s_pd, pd0[:, None]) == pd0[:, None]
                 ).all(axis=1)
@@ -142,9 +148,10 @@ def classify_reads(ctx: ChainCtx, read_words: jnp.ndarray, rlens: jnp.ndarray,
     # lower_bound semantics, matching boundary_index / the reference's
     # PosChrIdMap lookups (tools.cpp:132-164)
     pdc = jnp.clip(pd0, 0, ctx.seq_len - 1)
-    b1 = jnp.searchsorted(ctx.bkeys, pdc, side="left")
-    b2 = jnp.searchsorted(ctx.bkeys, jnp.clip(pd0 + rlens - 1, 0,
-                                              ctx.seq_len - 1), side="left")
+    bkeys = ctx.bkeys.astype(pdt)
+    b1 = jnp.searchsorted(bkeys, pdc, side="left")
+    b2 = jnp.searchsorted(bkeys, jnp.clip(pd0 + rlens - 1, 0,
+                                          ctx.seq_len - 1), side="left")
     span_ok = span_ok & (b1 == b2)
 
     # ---- diagonal mismatch mask ------------------------------------------

@@ -192,6 +192,116 @@ def build_big_seed_hits_kernel(mesh: Mesh, n_devices: int, max_len: int,
     return fn
 
 
+def build_big_chain_kernel(mesh: Mesh, n_devices: int, max_len: int,
+                           batch_global: int, statics: dict, seq_len: int,
+                           tier: int = 2):
+    """The x64 PRODUCTION chain stage (seed -> routed SA -> device
+    chain/classify) for >2^31-row texts: build_sharded_chain_kernel's
+    contract with the interval state, hit locations, and diagonals in
+    int64 (the reference's coordinates are bwtint_t = uint64 end to
+    end — ref: src/BWT_Index/bwt.h:44; classification logic matches
+    ReadAlignment.cpp:184-232 via ops/chain_device.classify_reads).
+    Build (jit) and call inside jax.enable_x64(True).
+
+    seq_len: text length 2L (python int; may exceed 2^31).
+    jit fn(occ3 [n, rps, 72] i32, base3 [ns, 64] i64, c3_first [64] i64,
+           L2 [5] i64, sa [n, sps] i64, text_words [nw+1] u32 replicated,
+           bkeys [nb] i64 replicated, packed [BG, max_len/4] u8 sharded,
+           rlens [BG] i32 sharded) ->
+      (cls, mm, rplast, cscore i32[BG], pd0 i64[BG], mmp i32[BG, 4],
+       overflow i32[BG], hit_read(global) i32, hit_rpos, hit_len i32,
+       hit_loc i64, keep_slow bool [n*H], buf_ovf i32[n])"""
+    from ..ops.chain_device import CLASS_SLOW, ChainCtx, classify_reads
+
+    BG = batch_global
+    assert BG % n_devices == 0
+    B = BG // n_devices
+    max_seeds = max_len // (MIN_SEED_LEN + 1) + 2
+    H = B * max(9, tier) // 4
+
+    def device_fn(occ3_local, base3, c3_first, L2, sa_local, text_words,
+                  bkeys, packed, rlens):
+        occ3_local = occ3_local[0]
+        sa_local = sa_local[0]
+        bfm = BigShardedFM3(
+            occ3_local=occ3_local, base3=base3, c3_first=c3_first, L2=L2,
+            rows_per_shard=occ3_local.shape[0], n_shards=n_devices,
+            **statics)
+        W4 = packed.shape[1]
+        nwords = (W4 + 3) // 4
+        pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+        sh8 = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+        words_le = (pb << sh8).sum(axis=2, dtype=jnp.uint32)
+        widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+        def codes_fn(row, pos):
+            wi = (pos >> 4)[:, None]
+            w = jnp.where(widx == wi, words_le, 0).sum(axis=1,
+                                                       dtype=jnp.uint32)
+            return ((w >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                    ).astype(jnp.int32)
+
+        (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = _seed_scan3(
+            bfm, codes_fn, rlens, B, max_len, max_seeds,
+            gather_fn=big_routed_gather3, sync_axis="dp",
+            idx_dtype=jnp.int64)
+
+        sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        seed_valid = sidx < n_seeds[:, None]
+        freqs = jnp.where(seed_valid, s_freq, 0).astype(jnp.int32
+                                                        ).reshape(-1)
+        x0s = s_x0.reshape(-1)
+        rposs = s_rpos.reshape(-1)
+        lens = s_len.reshape(-1)
+        readix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_seeds)
+        total_raw = freqs.sum()
+        csum = jnp.cumsum(freqs) - freqs
+        hpos = jnp.arange(H, dtype=jnp.int32)
+        within = hpos - jnp.repeat(csum, freqs, total_repeat_length=H)
+        hit_row = (jnp.repeat(x0s, freqs, total_repeat_length=H)
+                   + within.astype(jnp.int64))
+        hit_rpos = jnp.repeat(rposs, freqs, total_repeat_length=H)
+        hit_len = jnp.repeat(lens, freqs, total_repeat_length=H)
+        hit_read = jnp.repeat(readix, freqs, total_repeat_length=H)
+        hit_valid = hpos < jnp.minimum(total_raw, H)
+        buf_ovf = (total_raw > H).astype(jnp.int32)
+
+        k_q = jnp.where(hit_valid, hit_row, 32)
+        hit_loc = _routed_rows64(sa_local, sa_local.shape[0], k_q)
+        keep = hit_valid & ((hit_loc - hit_rpos) > 0)
+
+        # bwa-order read words for the text mismatch compare
+        pb2 = packed.astype(jnp.uint32)
+        crumb = jnp.stack([(pb2 >> jnp.uint32(q * 2)) & 3
+                           for q in range(4)], axis=-1).reshape(B, W4 * 4)
+        cshift = jnp.asarray(((15 - (np.arange(max_len) & 15)) * 2)
+                             .astype(np.uint32))
+        cw = (crumb[:, :max_len] << cshift[None, :]).reshape(B, nwords, 16)
+        words_bwa = cw.sum(axis=2, dtype=jnp.uint32)
+        ctx = ChainCtx(text_words=text_words, bkeys=bkeys, seq_len=seq_len)
+        cls, pd0, mm, rplast, cscore, mmp = classify_reads(
+            ctx, words_bwa, rlens, hit_read, hit_rpos, hit_len,
+            hit_loc, keep, max_len)
+        cls = jnp.where(overflow, CLASS_SLOW, cls)
+
+        keep_slow = keep & (cls[jnp.clip(hit_read, 0, B - 1)] == CLASS_SLOW)
+        my = jax.lax.axis_index("dp").astype(jnp.int32)
+        return (cls, pd0, mm, rplast, cscore, mmp,
+                overflow.astype(jnp.int32), hit_read + my * B, hit_rpos,
+                hit_len, hit_loc, keep_slow, buf_ovf[None])
+
+    fn = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P("dp", None, None), P(None, None), P(None),
+                                P(None), P("dp", None), P(None), P(None),
+                                P("dp", None), P("dp")),
+                      out_specs=(P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P("dp", None), P("dp"),
+                                 P("dp"), P("dp"), P("dp"), P("dp"),
+                                 P("dp"), P("dp"))))
+    return fn
+
+
 def shard_rows(arr: np.ndarray, n_shards: int, pad_value=0):
     """Pad + split a table into n_shards equal axis-0 slices ->
     (np[n_shards, rps, ...], rps)."""

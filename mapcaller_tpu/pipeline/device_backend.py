@@ -45,20 +45,37 @@ class DeviceBackend:
         # genome-sharded occ3 over an N-device mesh (human-scale index):
         # lifts the single-chip HBM cap by ~N (parallel/sharded_index.py)
         self.index_shards = int(getattr(cfg, "index_shards", 0) or 0)
+        # x64 big-genome mode (parallel/big_index.py): shard-relative
+        # int32 occ3 rows + int64 interval/position state, auto-selected
+        # when the fwd+rc text exceeds the int32 row format (the
+        # reference handles this with bwtint_t = uint64 throughout,
+        # ref: src/BWT_Index/bwt.h:44); cfg.big_x64 forces it for parity
+        # tests on small genomes.
+        self.big_x64 = bool(getattr(cfg, "big_x64", False)) or (
+            idx.seq_len >= (1 << 31) - 2)
         if self.index_shards > 1:
             if len(jax.devices()) < self.index_shards:
                 raise ValueError(
                     f"index_shards={self.index_shards} but only "
                     f"{len(jax.devices())} devices visible")
-            # the sharded kernel is the occ3 path; lift the single-chip
-            # HBM cap by ~N. Row indices/counts are int32 throughout
-            # (the occ3 row format stores int32 cumulative counts), so
-            # the text length stays capped at 2^31 until the int64 row
-            # redesign (PARITY.md "Known gaps").
-            self._fm3_ok = idx.sa_full is not None and (
-                idx.seq_len < min(self.index_shards * (1 << 29),
-                                  (1 << 31) - 2))
+            if self.big_x64:
+                # the x64 sharded kernel needs the full SA (routed
+                # int64 gather); no 2^31 text cap
+                self._fm3_ok = idx.sa_full is not None
+            else:
+                # the sharded kernel is the occ3 path; lift the
+                # single-chip HBM cap by ~N. Row indices/counts are
+                # int32 (absolute), capping text at 2^31; beyond that
+                # big_x64 takes over.
+                self._fm3_ok = idx.sa_full is not None and (
+                    idx.seq_len < min(self.index_shards * (1 << 29),
+                                      (1 << 31) - 2))
+        elif self.big_x64 and idx.seq_len >= (1 << 31) - 2:
+            raise ValueError(
+                "genome text exceeds 2^31 rows; run with -shards N "
+                "(genome-sharded x64 index) on an N-device mesh")
         self._sharded = None
+        self._big = None
 
     @property
     def fm3(self):
@@ -241,11 +258,72 @@ class DeviceBackend:
             self._sharded = (mesh, occ_dev, occ1_dev, sa_dev)
         return self._sharded
 
+    def _big_setup(self):
+        """Stage the x64 big-genome sharded tables: shard-relative occ3
+        rows (+ int64 base counts), int64 full SA, and the replicated
+        chain context, all device-placed over the dp mesh."""
+        if self._big is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..index.occ3 import build_occ3_64
+            from ..parallel.mesh import make_mesh
+            n = self.index_shards
+            mesh = make_mesh(n)
+            idx = self.idx
+            sa64 = idx.sa_full
+            if sa64.dtype != np.int64:
+                sa64 = sa64.astype(np.int64)
+            text = idx.ref.fwd_rc_codes()
+            nrows = idx.seq_len
+            nw3 = (nrows + 16) // 16 + 2
+            rps = -(-nw3 // n)
+            rows = np.zeros((n * rps, 72), dtype=np.int32)
+            tab = build_occ3_64(sa64, text, words_per_shard=rps,
+                                rows_out=rows[:nw3])
+            devs = list(mesh.devices.reshape(-1))
+
+            def stage_sharded(arr2d, spec_shape):
+                shards = [jax.device_put(np.ascontiguousarray(
+                    arr2d[s])[None], d) for s, d in enumerate(devs)]
+                return jax.make_array_from_single_device_arrays(
+                    (n,) + arr2d.shape[1:],
+                    NamedSharding(mesh, spec_shape), shards)
+
+            with jax.enable_x64(True):
+                occ_dev = stage_sharded(rows.reshape(n, rps, 72),
+                                        P("dp", None, None))
+                sps = -(-(nrows + 1) // n)
+                sa_pad = np.zeros(n * sps, dtype=np.int64)
+                sa_pad[:nrows + 1] = sa64
+                sa_dev = stage_sharded(sa_pad.reshape(n, sps),
+                                       P("dp", None))
+                base3 = np.zeros((n, 64), dtype=np.int64)
+                base3[:tab.base3.shape[0]] = tab.base3
+
+                def rep(a):
+                    return jax.device_put(jnp.asarray(a),
+                                          NamedSharding(mesh, P(*([None] *
+                                                        np.ndim(a)))))
+
+                b3 = rep(base3)
+                c3f = rep(tab.c3_first)
+                l2d = rep(np.asarray(idx.L2, dtype=np.int64))
+                ctx = self.chain_ctx
+                tw = rep(np.asarray(ctx.text_words))
+                bk = rep(np.asarray(ctx.bkeys).astype(np.int64))
+            statics = dict(primary=int(idx.primary), row_p1=tab.row_p1,
+                           row_p2=tab.row_p2, t0=tab.t0, t1=tab.t1,
+                           tail1=tab.tail1, tail2a=tab.tail2a,
+                           tail2b=tab.tail2b)
+            self._big = (mesh, occ_dev, b3, c3f, l2d, sa_dev, tw, bk,
+                         statics)
+        return self._big
+
     def _sharded_chain_for(self, bucket: int, tier: int, batch_global: int):
-        key = ("schain", bucket, tier, batch_global)
+        key = ("schain", bucket, tier, batch_global, self.big_x64)
         if key not in self._kernels:
-            self._kernels[key] = _ShardedChain(self, bucket, tier,
-                                               batch_global)
+            cls_ = _BigShardedChain if self.big_x64 else _ShardedChain
+            self._kernels[key] = cls_(self, bucket, tier, batch_global)
         return self._kernels[key]
 
     def submit_chain(self, packed: np.ndarray, rlens: np.ndarray,
@@ -270,7 +348,8 @@ class DeviceBackend:
             packed_p[:B0] = packed
             rl_p = np.zeros(BG, dtype=np.int32)
             rl_p[:B0] = np.maximum(rlens, 0)
-            mesh = self._sharded_setup()[0]
+            mesh = (self._big_setup() if self.big_x64
+                    else self._sharded_setup())[0]
             kernel = self._sharded_chain_for(bucket, tier, BG)
             packed_dev = jax.device_put(jnp.asarray(packed_p),
                                         NamedSharding(mesh, P("dp", None)))
@@ -535,3 +614,48 @@ class _ShardedChain:
         slen = hit_len[k][order].astype(np.int32)
         return (cls, pd0, mm, rplast, cscore, counts, rpos, gpos, slen,
                 ovf.astype(bool), bool(buf_ovf.any()))
+
+
+class _BigShardedChain:
+    """x64 big-genome variant of _ShardedChain: the chain stage runs
+    parallel/big_index.build_big_chain_kernel (shard-relative occ3 rows,
+    int64 interval state / hit locations / diagonals), same
+    __call__/collect/rerun contract. Auto-selected by the backend when
+    the fwd+rc text has >= 2^31 rows (ref index types are uint64:
+    src/BWT_Index/bwt.h:44); cfg.big_x64 forces it for parity tests."""
+
+    def __init__(self, be: DeviceBackend, bucket: int, tier: int,
+                 batch_global: int):
+        import jax
+        from ..parallel.big_index import build_big_chain_kernel
+        self.be = be
+        self.bucket = bucket
+        self.tier = tier
+        self.BG = batch_global
+        self.n = be.index_shards
+        (self.mesh, self.occ_dev, self.b3, self.c3f, self.l2d,
+         self.sa_dev, self.tw, self.bk, self.statics) = be._big_setup()
+        with jax.enable_x64(True):
+            self.fn = build_big_chain_kernel(
+                self.mesh, self.n, bucket, batch_global, self.statics,
+                int(be.idx.seq_len), tier)
+
+    def __call__(self, packed_dev, rl_dev):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        with jax.enable_x64(True):
+            if int(rl_dev.shape[0]) != self.BG:   # rerun passes unpadded
+                rl_p = np.zeros(self.BG, dtype=np.int32)
+                rl_p[:int(rl_dev.shape[0])] = np.asarray(rl_dev)
+                rl_dev = jax.device_put(jnp.asarray(rl_p),
+                                        NamedSharding(self.mesh, P("dp")))
+            outs = self.fn(self.occ_dev, self.b3, self.c3f, self.l2d,
+                           self.sa_dev, self.tw, self.bk, packed_dev,
+                           rl_dev)
+        return outs, outs[1], outs[5]
+
+    def rerun_builder(self, tier: int):
+        return self.be._sharded_chain_for(self.bucket, tier, self.BG)
+
+    def collect(self, outs):
+        return _ShardedChain.collect(self, outs)

@@ -218,6 +218,12 @@ class DeviceEvidence:
         kern = build_apply_kernel(self.L, self.two_l, B, bool(pair_end))
         fb = np.zeros((B + 31) // 32, dtype=np.int32)
         fb[:fast_bits.size] = fast_bits.view(np.int32)
+        if pd_dev.dtype == jnp.int64:   # big-genome x64 path
+            import jax
+            with jax.enable_x64(True):
+                self.planes = kern(self.planes, pd_dev, mmp_dev, rl_dev,
+                                   jnp.asarray(fb))
+            return
         self.planes = kern(self.planes, pd_dev, mmp_dev, rl_dev,
                            jnp.asarray(fb))
 

@@ -1898,7 +1898,7 @@ void mc_fast_bits(void* ctx, i64* n_words, uint32_t* fbits) {
 }
 
 void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
-                          const i32* cls, const i32* pd, const i32* mm,
+                          const i32* cls, const i64* pd, const i32* mm,
                           const i32* rplast, const i32* cscore,
                           const i32* seed_counts, const i32* seed_rpos,
                           const i64* seed_gpos, const i32* seed_len,
@@ -1972,7 +1972,7 @@ struct PreparedCls {
 static thread_local PreparedCls g_prep;
 
 i64 mc_prepare_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
-                         const i32* cls, const i32* pd, const i32* mm,
+                         const i32* cls, const i64* pd, const i32* mm,
                          const i32* rplast, const i32* cscore,
                          const i32* seed_counts, const i32* seed_rpos,
                          const i64* seed_gpos, const i32* seed_len) {
