@@ -190,6 +190,19 @@ def _pad(a: np.ndarray, n: int, dtype=np.int32) -> np.ndarray:
     return out
 
 
+def make_device_evidence(backend, cfg, host_profile):
+    """DeviceEvidence factory: the big-genome sharded backend
+    (cfg.big_x64 / auto at >=2^31 text rows, with index_shards > 1)
+    gets genome-sharded planes (pipeline/big_profile.BigDeviceEvidence)
+    so no per-position array ever materializes on a single device —
+    human-scale genomes need ~16 B/base across acgt+diff planes, beyond
+    one chip's HBM. Everything else keeps the single-chip planes."""
+    if getattr(backend, "big_x64", False) and backend.index_shards > 1:
+        from .big_profile import BigDeviceEvidence
+        return BigDeviceEvidence(backend, cfg, host_profile)
+    return DeviceEvidence(backend, cfg, host_profile)
+
+
 class DeviceEvidence:
     """Owns the HBM planes for one run: per-batch apply of fast-read
     evidence + the finalize fold (which first merges the host-side

@@ -40,8 +40,9 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # slow-read evidence always accumulates in the host diff arrays
         engine.enable_diff_profile()
     if use_device_evidence:
-        from .device_profile import DeviceEvidence
-        engine.device_evidence = DeviceEvidence(be, cfg, engine.profile)
+        from .device_profile import make_device_evidence
+        engine.device_evidence = make_device_evidence(be, cfg,
+                                                      engine.profile)
         native.set_ops_mode(True)
     fold_ev = (engine.device_evidence
                if use_device_evidence and getattr(cfg, "fold_evidence", False)
