@@ -279,7 +279,12 @@ class NativeEngine:
                               tbuf.raw[to:to + tlens[i]].decode()))
                 qo += qlens[i]
                 to += tlens[i]
-            MN = dp_max + 32
+            # per-call size tier: production normal pairs are short
+            # (median 13, p100 ~44 on the divergent bench set —
+            # EXTENSION_BENCH.json), so sizing the kernel to the batch's
+            # actual max instead of dp_max cuts padded DP cells ~8x
+            maxlen = int(max(qlens.max(), tlens.max()))
+            MN = next((t for t in (48, 96) if t >= maxlen), dp_max + 32)
             if use_nw:
                 from .ops.nw_device import nw_align_batch
                 words, _scores = nw_align_batch(pairs, M=MN, N=MN,

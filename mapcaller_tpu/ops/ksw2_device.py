@@ -234,20 +234,12 @@ def ksw2_align_batch(pairs: List[Tuple[str, str]], M: int = 192,
     """Align (s1=query, s2=target) pairs on device; '-'-padded strings
     bit-identical to ops/ksw2_host.ksw2_alignment. DP fill AND backtrack
     run on device; only packed 2-bit ops come back."""
-    from ..dna import NT4_TABLE
+    from .nw_device import _encode_side
     NC = ((N + 15) // 16 + 1) * 16
     B = len(pairs)
-    qbuf = np.zeros((B, M), dtype=np.uint8)
-    tgt = np.zeros((B, NC), dtype=np.uint8)
-    ql = np.zeros(B, dtype=np.int32)
-    tl = np.zeros(B, dtype=np.int32)
-    for k, (s1, s2) in enumerate(pairs):
-        assert 0 < len(s1) <= M and 0 < len(s2) <= N
-        q = NT4_TABLE[np.frombuffer(s1.encode(), dtype=np.uint8)]
-        t = NT4_TABLE[np.frombuffer(s2.encode(), dtype=np.uint8)]
-        qbuf[k, M - len(s1):] = q[::-1]
-        tgt[k, :len(s2)] = t
-        ql[k], tl[k] = len(s1), len(s2)
+    assert all(0 < len(s1) <= M and 0 < len(s2) <= N for s1, s2 in pairs)
+    qbuf, ql = _encode_side([a for a, _ in pairs], M, B, reverse=True, pad=0)
+    tgt, tl = _encode_side([b for _, b in pairs], NC, B, pad=0)
     kern = build_ksw2_kernel(M, N)
     p = kern(jnp.asarray(qbuf), jnp.asarray(tgt),
              jnp.asarray(ql), jnp.asarray(tl))

@@ -235,6 +235,30 @@ def _replay_ops(s1: str, s2: str, words: np.ndarray):
     return "".join(a1), "".join(a2)
 
 
+def _encode_side(strs: List[str], width: int, B: int, reverse: bool = False,
+                 pad: int = 4):
+    """Vectorized 2-bit encode of variable-length strings into a padded
+    [B, width] code matrix (pad value 4) + int32 lengths — replaces the
+    per-pair Python loop that dominated host time at production batch
+    sizes (EXTENSION_BENCH.json)."""
+    from ..dna import NT4_TABLE
+    bufs = [s.encode() for s in strs]
+    lens = np.fromiter((len(b) for b in bufs), np.int32, len(bufs))
+    out = np.full((B, width), pad, dtype=np.uint8)
+    if bufs:
+        codes = NT4_TABLE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
+        row = np.repeat(np.arange(len(bufs)), lens)
+        col = np.arange(codes.size) - np.repeat(
+            np.cumsum(lens, dtype=np.int64) - lens, lens)
+        if reverse:          # right-aligned, reversed (ksw2 query layout)
+            out[row, width - 1 - col] = codes
+        else:
+            out[row, col] = codes
+    m = np.zeros(B, dtype=np.int32)
+    m[:len(bufs)] = lens
+    return out, m
+
+
 def nw_align_batch(pairs: List[Tuple[str, str]], M: int = 192, N: int = 192,
                    tile: int = 64, interpret: bool = None,
                    return_ops: bool = False):
@@ -245,18 +269,10 @@ def nw_align_batch(pairs: List[Tuple[str, str]], M: int = 192, N: int = 192,
     if interpret is None:
         import jax
         interpret = jax.default_backend() != "tpu"
-    from ..dna import NT4_TABLE
     B = ((len(pairs) + tile - 1) // tile) * tile
-    c1 = np.full((B, M), 4, dtype=np.uint8)
-    c2 = np.full((B, N), 4, dtype=np.uint8)
-    m = np.zeros(B, dtype=np.int32)
-    n = np.zeros(B, dtype=np.int32)
-    for k, (s1, s2) in enumerate(pairs):
-        assert len(s1) <= M and len(s2) <= N
-        c1[k, :len(s1)] = NT4_TABLE[np.frombuffer(s1.encode(), dtype=np.uint8)]
-        c2[k, :len(s2)] = NT4_TABLE[np.frombuffer(s2.encode(), dtype=np.uint8)]
-        m[k] = len(s1)
-        n[k] = len(s2)
+    assert all(len(s1) <= M and len(s2) <= N for s1, s2 in pairs)
+    c1, m = _encode_side([a for a, _ in pairs], M, B)
+    c2, n = _encode_side([b for _, b in pairs], N, B)
     kern = build_nw_kernel(M, N, tile, interpret=interpret)
     dirs, score = kern(jnp.asarray(c1), jnp.asarray(c2),
                        jnp.asarray(m), jnp.asarray(n))
