@@ -3,9 +3,10 @@
 index, map + call simulated reads, and report wall times + host RSS +
 device memory. Writes CHR_SCALE.json at the repo root.
 
-The 60 Mb genome (120 Mb fwd+rc text) exceeds the 3-step occ-table
-budget, so this also exercises the 1-step fallback kernel and the
-sampled-SA policy end to end."""
+Genome size is env-tunable (MC_CHR_L); the backend reports which occ
+kernel and SA policy it selected (the 3-step occ table and full SA
+both still fit HBM at 60-200 Mb; the 1-step fallback and sampled SA
+engage beyond the occ3/SA HBM budgets)."""
 import json
 import os
 import resource
