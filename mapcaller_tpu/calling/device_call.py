@@ -70,7 +70,12 @@ def device_identify(engine, cfg: Config, genome: Genome
     pref_map = {int(g): int(pref[i]) for i, g in enumerate(pref_arr)}
     sparse = SparseProfile(host_prof, col_map, pref_map, L)
 
-    block_depth = bd.astype(np.int64)
+    # block depths stay device-resident: every consumer below (and
+    # identify_sv back in run_calling) indexes them only at positions
+    # in pos_arr, so one sparse gather replaces an O(L/100) download
+    block_depth = bd
+    if pos_arr.size:
+        block_depth.prefetch(pos_arr // BLOCK_SIZE)
     ref_codes = engine.idx.ref.ref_sequence_codes()
     out: List[Variant] = []
 

@@ -2,9 +2,14 @@
 planes (ref: src/VariantCalling.cpp:106-120 block depth, :550-680 scan).
 
 The genome-axis math runs on device; only sparse results cross the
-link: per-100bp block depths, SUB candidate indices (a conservative
-superset of the host threshold — exact float64 thresholds re-applied on
-host), gap/CNV run boundaries, and exact int64-safe scalar reductions.
+link: SUB candidate indices (a conservative superset of the host
+threshold — exact float64 thresholds re-applied on host), gap/CNV run
+boundaries, and exact int64-safe scalar reductions.  The per-100bp
+block-depth array stays DEVICE-resident (LazyBlockDepth): every host
+consumer indexes it only at sparse positions (indel keys, breakpoint
+candidates — device_call.py, caller.identify_sv), so downloading it
+densely would cost O(GenomeSize/100) D2H (~124 MB at human scale) for
+a handful of values.
 A second call gathers full evidence columns (acgt / multi / read_count
 / F planes / cov / cov prefix) at the sparse positions every downstream
 consumer (record emission, VCF writer, SV scoring) reads.
@@ -21,6 +26,62 @@ import numpy as np
 BLOCK_SIZE = 100
 CAND_CAP = 1 << 17
 RUN_CAP = 1 << 20
+# blocks per device-side partial sum of the hi/lo coverage planes.
+# int32 safety: per-block blk_hi <= (4*4095>>8)*100 = 6300 and
+# blk_lo <= 255*100 = 25500, so a 4096-block partial tops out at
+# 25.8M / 104M — far below 2^31; the host finishes in int64.
+BLK_PART = 4096
+
+
+class LazyBlockDepth:
+    """Device-resident per-100bp block depths with sparse host access.
+
+    The dense array (GenomeSize/100 entries) is only ever indexed at a
+    handful of sparse positions host-side (ref: VariantCalling.cpp uses
+    BlockDepthArr at indel/breakpoint loci, :576-597 and :229-282), so
+    it stays on device; ``prefetch`` batches one gather for a block
+    set, ``__getitem__`` serves cached values (gathering one-off on a
+    miss), and ``dense()``/``astype`` materialize the full array for
+    tests and fallback paths."""
+
+    def __init__(self, arr, nb: int):
+        self._arr = arr            # jax int32 device array, len >= nb
+        self.nb = nb
+        self._cache: Dict[int, int] = {}
+        self._dense = None
+
+    def prefetch(self, blocks) -> None:
+        if self._dense is not None:
+            return
+        blocks = np.unique(np.asarray(blocks, dtype=np.int64))
+        blocks = blocks[(blocks >= 0) & (blocks < self.nb)]
+        missing = [int(b) for b in blocks.tolist() if b not in self._cache]
+        if not missing:
+            return
+        vals = np.asarray(jnp.take(
+            self._arr, jnp.asarray(np.asarray(missing, np.int32))))
+        self._cache.update(zip(missing, (int(v) for v in vals)))
+
+    def __getitem__(self, b) -> int:
+        b = int(b)
+        if self._dense is not None:
+            return int(self._dense[b])
+        if b not in self._cache:
+            if not 0 <= b < self.nb:
+                raise IndexError(b)
+            self.prefetch(np.asarray([b]))
+        return self._cache[b]
+
+    def dense(self) -> np.ndarray:
+        if self._dense is None:
+            self._dense = np.asarray(self._arr)[:self.nb].astype(np.int64)
+        return self._dense
+
+    def astype(self, dtype) -> np.ndarray:
+        return self.dense().astype(dtype)
+
+    def __len__(self) -> int:
+        return self.nb
 
 
 @functools.lru_cache(maxsize=None)
@@ -73,17 +134,25 @@ def build_scan_kernel(L: int, somatic: bool):
 
         aligned = cov > 0
         n_aligned = aligned.sum()
-        # per-block partial sums of the coverage split into hi/lo bytes:
-        # a 100-position block sum stays far below 2^31, and the host
-        # finishes the reduction in int64 (a single int32 total overflows
-        # once aligned low-byte coverage exceeds 2^31 at chromosome scale)
+        # coverage total split into hi/lo bytes, reduced on device to
+        # BLK_PART-block int32 partials (each provably < 2^31); the host
+        # finishes in int64 — a single int32 total overflows once aligned
+        # low-byte coverage exceeds 2^31 at chromosome scale, and dense
+        # per-block downloads cost O(L/100) D2H for one scalar
         alignedp = jnp.concatenate([aligned, jnp.zeros(pad, bool)])
         blk_hi = jnp.where(alignedp, covp >> 8, 0).reshape(
             nb, BLOCK_SIZE).sum(axis=1)
         blk_lo = jnp.where(alignedp, covp & 255, 0).reshape(
             nb, BLOCK_SIZE).sum(axis=1)
+        npart = (nb + BLK_PART - 1) // BLK_PART
+        padb = npart * BLK_PART - nb
+        hi_part = jnp.concatenate([blk_hi, jnp.zeros(padb, blk_hi.dtype)]
+                                  ).reshape(npart, BLK_PART).sum(axis=1)
+        lo_part = jnp.concatenate([blk_lo, jnp.zeros(padb, blk_lo.dtype)]
+                                  ).reshape(npart, BLK_PART).sum(axis=1)
         scalars = jnp.stack([n_cand, n_runs, n_aligned])
-        return block_depth, cand_idx, run_start, run_val, scalars, blk_hi, blk_lo
+        return (block_depth, cand_idx, run_start, run_val, scalars,
+                hi_part, lo_part)
 
     return jax.jit(kernel)
 

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..calling.scan_device import BLOCK_SIZE, CAND_CAP, RUN_CAP
+from ..calling.scan_device import BLK_PART, BLOCK_SIZE, CAND_CAP, RUN_CAP
 from .device_profile import MAX_ALLELE_COUNT, DeviceEvidence, DevicePlanes
 
 _GRAN = 400   # lcm(BLOCK_SIZE, 16)
@@ -417,9 +417,18 @@ class BigDeviceEvidence(DeviceEvidence):
                 nbl, BLOCK_SIZE).sum(axis=1).astype(jnp.int32)
             blk_lo = jnp.where(aligned, covm & 255, 0).reshape(
                 nbl, BLOCK_SIZE).sum(axis=1).astype(jnp.int32)
+            # shard-local BLK_PART partials (int32-safe, see scan_device)
+            npart = (nbl + BLK_PART - 1) // BLK_PART
+            padb = npart * BLK_PART - nbl
+            hi_part = jnp.concatenate(
+                [blk_hi, jnp.zeros(padb, jnp.int32)]).reshape(
+                npart, BLK_PART).sum(axis=1)
+            lo_part = jnp.concatenate(
+                [blk_lo, jnp.zeros(padb, jnp.int32)]).reshape(
+                npart, BLK_PART).sum(axis=1)
             return (block_depth, cand_loc[None], jnp.int32(n_cand)[None],
                     run_loc[None], run_val[None], jnp.int32(n_runs)[None],
-                    n_aligned[None], blk_hi, blk_lo)
+                    n_aligned[None], hi_part, lo_part)
 
         fn = jax.jit(jax.shard_map(
             device_fn, mesh=self.mesh,
@@ -439,41 +448,44 @@ class BigDeviceEvidence(DeviceEvidence):
         freq_base = 0.01 if self.cfg.somatic else self.cfg.frequency_thr
         fn = self._scan_kernel(bool(self.cfg.somatic))
         (bd, cand_loc, n_cand_l, run_loc, run_val_l, n_runs_l,
-         n_aligned_l, blk_hi, blk_lo) = fn(
+         n_aligned_l, hi_part, lo_part) = fn(
             acgt, multi, cov, self._words,
             jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
         n = self.n
         Pl = self.Pl
         nb = (self.L + BLOCK_SIZE - 1) // BLOCK_SIZE
-        cand_loc = np.asarray(cand_loc)          # [n, CAND_CAP] local pos
         n_cand_l = np.asarray(n_cand_l)
-        run_loc = np.asarray(run_loc)
-        run_val_l = np.asarray(run_val_l)
         n_runs_l = np.asarray(n_runs_l)
+        # download only bucketed per-shard prefixes of the cand/run
+        # tables (counts came down first): the capacity-padded arrays
+        # are n x 8.5 MB of D2H for typically a few thousand entries
+        def _sh_prefix(arr2d, s, cnt, cap):
+            k = 1024
+            while k < cnt:
+                k <<= 1
+            return np.asarray(arr2d[s, :min(k, cap)])[:min(cnt, cap)]
         # shard-order concatenation == global position-order compaction
         cand = np.concatenate(
-            [cand_loc[s, :min(int(n_cand_l[s]), CAND_CAP)].astype(np.int64)
-             + s * Pl for s in range(n)])
+            [_sh_prefix(cand_loc, s, int(n_cand_l[s]), CAND_CAP)
+             .astype(np.int64) + s * Pl for s in range(n)])
         runs = np.concatenate(
-            [run_loc[s, :min(int(n_runs_l[s]), RUN_CAP)].astype(np.int64)
-             + s * Pl for s in range(n)])
+            [_sh_prefix(run_loc, s, int(n_runs_l[s]), RUN_CAP)
+             .astype(np.int64) + s * Pl for s in range(n)])
         rvals = np.concatenate(
-            [run_val_l[s, :min(int(n_runs_l[s]), RUN_CAP)]
+            [_sh_prefix(run_val_l, s, int(n_runs_l[s]), RUN_CAP)
              for s in range(n)])
         n_cand = int(n_cand_l.astype(np.int64).sum())
         n_runs = int(n_runs_l.astype(np.int64).sum())
-        total_cov = ((np.asarray(blk_hi).astype(np.int64).sum() << 8)
-                     + np.asarray(blk_lo).astype(np.int64).sum())
-        cand_idx = np.full(CAND_CAP, -1, np.int64)
-        cand_idx[:min(n_cand, CAND_CAP)] = cand[:CAND_CAP]
-        run_start = np.full(RUN_CAP, -1, np.int64)
-        run_start[:min(n_runs, RUN_CAP)] = runs[:RUN_CAP]
-        run_val = np.zeros(RUN_CAP, np.int32)
-        run_val[:min(n_runs, RUN_CAP)] = rvals[:RUN_CAP]
+        total_cov = ((np.asarray(hi_part).astype(np.int64).sum() << 8)
+                     + np.asarray(lo_part).astype(np.int64).sum())
+        cand_idx = cand[:CAND_CAP]
+        run_start = runs[:RUN_CAP]
+        run_val = rvals[:RUN_CAP]
         scal4 = np.array([n_cand, n_runs,
                           int(n_aligned_l.astype(np.int64).sum()),
                           total_cov], dtype=np.int64)
-        self._scan = (np.asarray(bd).astype(np.int64)[:nb], cand_idx,
+        from ..calling.scan_device import LazyBlockDepth
+        self._scan = (LazyBlockDepth(bd, nb), cand_idx,
                       run_start, run_val, scal4)
         return self._scan
 

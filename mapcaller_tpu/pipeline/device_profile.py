@@ -190,6 +190,18 @@ def _pad(a: np.ndarray, n: int, dtype=np.int32) -> np.ndarray:
     return out
 
 
+def _prefix_download(arr, n: int) -> np.ndarray:
+    """D2H of the first >=n entries of a device array, bucketed to a
+    power of two so slice programs are reused across runs.  Consumers
+    only ever read [:n] (an overflowing n makes the caller fall back
+    before indexing, device_call.py:34)."""
+    cap = arr.shape[0]
+    k = 1024
+    while k < n:
+        k <<= 1
+    return np.asarray(arr[:min(k, cap)])
+
+
 def make_device_evidence(backend, cfg, host_profile):
     """DeviceEvidence factory: the big-genome sharded backend
     (cfg.big_x64 / auto at >=2^31 text rows, with index_shards > 1)
@@ -348,24 +360,32 @@ class DeviceEvidence:
         return self._final
 
     def scan(self):
-        """Dense caller scan (cached); returns host-side
-        (block_depth int64[nb], cand_idx, run_start, run_val,
+        """Dense caller scan (cached); returns
+        (block_depth LazyBlockDepth — device-resident, sparse host
+        access, cand_idx, run_start, run_val,
         scalars int64[4] = (n_cand, n_runs, n_aligned, total_cov))."""
         if self._scan is not None:
             return self._scan
-        from ..calling.scan_device import build_scan_kernel
+        from ..calling.scan_device import (BLOCK_SIZE, LazyBlockDepth,
+                                           build_scan_kernel)
         acgt, F, multi, cov, cov_prefix = self.finalize()
         kern = build_scan_kernel(self.L, bool(self.cfg.somatic))
         freq_base = 0.01 if self.cfg.somatic else self.cfg.frequency_thr
-        bd, cand_idx, run_start, run_val, scalars, blk_hi, blk_lo = kern(
+        bd, cand_idx, run_start, run_val, scalars, hi_part, lo_part = kern(
             acgt, multi, cov, self._ref_codes_dev(),
             jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
-        total_cov = ((np.asarray(blk_hi).astype(np.int64).sum() << 8)
-                     + np.asarray(blk_lo).astype(np.int64).sum())
+        total_cov = ((np.asarray(hi_part).astype(np.int64).sum() << 8)
+                     + np.asarray(lo_part).astype(np.int64).sum())
         scal4 = np.concatenate([np.asarray(scalars).astype(np.int64),
                                 np.asarray([total_cov], np.int64)])
-        self._scan = (np.asarray(bd).astype(np.int64), np.asarray(cand_idx),
-                      np.asarray(run_start), np.asarray(run_val), scal4)
+        nb = (self.L + BLOCK_SIZE - 1) // BLOCK_SIZE
+        # download only a bucketed prefix of the candidate/run tables:
+        # consumers read [:n] (device_call.py), and the full-capacity
+        # arrays are 8.5 MB of D2H for typically a few thousand entries
+        self._scan = (LazyBlockDepth(bd, nb),
+                      _prefix_download(cand_idx, int(scal4[0])),
+                      _prefix_download(run_start, int(scal4[1])),
+                      _prefix_download(run_val, int(scal4[1])), scal4)
         return self._scan
 
     def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray):
