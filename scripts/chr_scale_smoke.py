@@ -111,10 +111,13 @@ def main():
     run_stream_mapping(engine, cfg, t0)
     t1 = time.time()
     engine.finalize()
+    t2 = time.time()
     if not MAP_ONLY:
         run_calling(engine, cfg, "chr-scale-smoke")
     dt = time.time() - t0
     out["steady_map_s"] = round(t1 - t0, 2)
+    out["steady_finalize_s"] = round(t2 - t1, 2)
+    out["steady_call_s"] = round(dt - (t2 - t0), 2)
     out["steady_finalize_call_s"] = round(dt - (t1 - t0), 2)
     out["steady_map_call_s"] = round(dt, 1)
     out["steady_map_reads_per_s"] = round(
