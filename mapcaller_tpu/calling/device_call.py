@@ -63,19 +63,18 @@ def device_identify(engine, cfg: Config, genome: Genome
 
     pos_arr = np.array(sorted(positions), dtype=np.int64)
     pref_arr = np.array(sorted(prefix_pts), dtype=np.int64)
+    # block depths stay device-resident: every consumer below (and
+    # identify_sv back in run_calling) indexes them only at positions
+    # in pos_arr, so their values ride the same packed transfer as the
+    # evidence columns instead of an O(L/100) dense download
     cols, pref = dev.fetch_columns(
         pos_arr if pos_arr.size else np.zeros(1, np.int64),
-        pref_arr if pref_arr.size else np.zeros(1, np.int64))
+        pref_arr if pref_arr.size else np.zeros(1, np.int64),
+        bd_blocks=pos_arr // BLOCK_SIZE if pos_arr.size else None)
     col_map = {int(g): cols[i] for i, g in enumerate(pos_arr)}
     pref_map = {int(g): int(pref[i]) for i, g in enumerate(pref_arr)}
     sparse = SparseProfile(host_prof, col_map, pref_map, L)
-
-    # block depths stay device-resident: every consumer below (and
-    # identify_sv back in run_calling) indexes them only at positions
-    # in pos_arr, so one sparse gather replaces an O(L/100) download
     block_depth = bd
-    if pos_arr.size:
-        block_depth.prefetch(pos_arr // BLOCK_SIZE)
     ref_codes = engine.idx.ref.ref_sequence_codes()
     out: List[Variant] = []
 

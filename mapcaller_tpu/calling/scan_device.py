@@ -62,6 +62,12 @@ class LazyBlockDepth:
             self._arr, jnp.asarray(np.asarray(missing, np.int32))))
         self._cache.update(zip(missing, (int(v) for v in vals)))
 
+    def insert(self, blocks, vals) -> None:
+        """Seed the cache with externally-gathered values (fetched on a
+        shared transfer, see DeviceEvidence.fetch_columns)."""
+        self._cache.update(zip((int(b) for b in np.asarray(blocks)),
+                               (int(v) for v in np.asarray(vals))))
+
     def __getitem__(self, b) -> int:
         b = int(b)
         if self._dense is not None:
@@ -150,11 +156,24 @@ def build_scan_kernel(L: int, somatic: bool):
                                   ).reshape(npart, BLK_PART).sum(axis=1)
         lo_part = jnp.concatenate([blk_lo, jnp.zeros(padb, blk_lo.dtype)]
                                   ).reshape(npart, BLK_PART).sum(axis=1)
-        scalars = jnp.stack([n_cand, n_runs, n_aligned])
-        return (block_depth, cand_idx, run_start, run_val, scalars,
-                hi_part, lo_part)
+        # ONE host-bound array for every scalar-sized result: the
+        # tunnel's per-transfer latency dominates small D2H, so the
+        # counts and the coverage partials ride one round trip
+        small = jnp.concatenate(
+            [jnp.stack([n_cand, n_runs, n_aligned]), hi_part, lo_part])
+        return block_depth, cand_idx, run_start, run_val, small
 
     return jax.jit(kernel)
+
+
+def unpack_small(small: np.ndarray):
+    """Split the scan kernel's packed small array -> int64
+    (n_cand, n_runs, n_aligned, total_cov)."""
+    npart = (small.size - 3) // 2
+    hi = small[3:3 + npart].astype(np.int64)
+    lo = small[3 + npart:].astype(np.int64)
+    total_cov = (int(hi.sum()) << 8) + int(lo.sum())
+    return (int(small[0]), int(small[1]), int(small[2]), total_cov)
 
 
 @functools.lru_cache(maxsize=None)

@@ -454,36 +454,54 @@ class BigDeviceEvidence(DeviceEvidence):
         n = self.n
         Pl = self.Pl
         nb = (self.L + BLOCK_SIZE - 1) // BLOCK_SIZE
-        n_cand_l = np.asarray(n_cand_l)
-        n_runs_l = np.asarray(n_runs_l)
-        # download only bucketed per-shard prefixes of the cand/run
-        # tables (counts came down first): the capacity-padded arrays
-        # are n x 8.5 MB of D2H for typically a few thousand entries
-        def _sh_prefix(arr2d, s, cnt, cap):
+        # TWO D2H round trips (the tunnel's per-transfer latency
+        # dominates small pulls): packed per-shard counts + coverage
+        # partials first, then one packed transfer of bucketed
+        # per-shard prefixes of the cand/run tables (capacity-padded
+        # they would be n x 8.5 MB for a few thousand entries)
+        small = np.asarray(jnp.concatenate(
+            [n_cand_l.astype(jnp.int64), n_runs_l.astype(jnp.int64),
+             n_aligned_l.astype(jnp.int64), hi_part.astype(jnp.int64),
+             lo_part.astype(jnp.int64)]))
+        n_cand_l = small[:n]
+        n_runs_l = small[n:2 * n]
+        n_aligned = int(small[2 * n:3 * n].sum())
+        total_cov = int((small[3 * n:3 * n + (small.size - 3 * n) // 2]
+                         .sum() << 8)
+                        + small[3 * n + (small.size - 3 * n) // 2:].sum())
+
+        def _ksz(cnt, cap):
             k = 1024
             while k < cnt:
                 k <<= 1
-            return np.asarray(arr2d[s, :min(k, cap)])[:min(cnt, cap)]
+            return min(k, cap)
+        k1 = [_ksz(int(n_cand_l[s]), CAND_CAP) for s in range(n)]
+        k2 = [_ksz(int(n_runs_l[s]), RUN_CAP) for s in range(n)]
+        packed = np.asarray(jnp.concatenate(
+            [cand_loc[s, :k1[s]] for s in range(n)]
+            + [a for s in range(n)
+               for a in (run_loc[s, :k2[s]], run_val_l[s, :k2[s]])]))
+        parts, off = [], 0
+        for ln in (k1 + [k for s in range(n) for k in (k2[s], k2[s])]):
+            parts.append(packed[off:off + ln])
+            off += ln
         # shard-order concatenation == global position-order compaction
         cand = np.concatenate(
-            [_sh_prefix(cand_loc, s, int(n_cand_l[s]), CAND_CAP)
-             .astype(np.int64) + s * Pl for s in range(n)])
+            [parts[s][:min(int(n_cand_l[s]), CAND_CAP)].astype(np.int64)
+             + s * Pl for s in range(n)])
         runs = np.concatenate(
-            [_sh_prefix(run_loc, s, int(n_runs_l[s]), RUN_CAP)
+            [parts[n + 2 * s][:min(int(n_runs_l[s]), RUN_CAP)]
              .astype(np.int64) + s * Pl for s in range(n)])
         rvals = np.concatenate(
-            [_sh_prefix(run_val_l, s, int(n_runs_l[s]), RUN_CAP)
+            [parts[n + 2 * s + 1][:min(int(n_runs_l[s]), RUN_CAP)]
              for s in range(n)])
-        n_cand = int(n_cand_l.astype(np.int64).sum())
-        n_runs = int(n_runs_l.astype(np.int64).sum())
-        total_cov = ((np.asarray(hi_part).astype(np.int64).sum() << 8)
-                     + np.asarray(lo_part).astype(np.int64).sum())
+        n_cand = int(n_cand_l.sum())
+        n_runs = int(n_runs_l.sum())
         cand_idx = cand[:CAND_CAP]
         run_start = runs[:RUN_CAP]
         run_val = rvals[:RUN_CAP]
-        scal4 = np.array([n_cand, n_runs,
-                          int(n_aligned_l.astype(np.int64).sum()),
-                          total_cov], dtype=np.int64)
+        scal4 = np.array([n_cand, n_runs, n_aligned, total_cov],
+                         dtype=np.int64)
         from ..calling.scan_device import LazyBlockDepth
         self._scan = (LazyBlockDepth(bd, nb), cand_idx,
                       run_start, run_val, scal4)
@@ -534,7 +552,8 @@ class BigDeviceEvidence(DeviceEvidence):
         return fn
 
     @_x64
-    def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray):
+    def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray,
+                      bd_blocks: np.ndarray = None):
         acgt, F, multi, cov, ccov, cov_tot = self.finalize()
         fn = self._fetch_kernel(int(positions.size), int(prefix_pts.size))
         cols, pref = fn(acgt, multi, F, cov, ccov, cov_tot,
@@ -542,7 +561,25 @@ class BigDeviceEvidence(DeviceEvidence):
                                   P(None)),
                         self._put(jnp.asarray(prefix_pts.astype(np.int64)),
                                   P(None)))
-        return np.asarray(cols), np.asarray(pref)
+        # one packed D2H; block-depth values ride along when requested
+        parts = [cols.reshape(-1).astype(pref.dtype), pref]
+        nbd = 0
+        if bd_blocks is not None and self._scan is not None:
+            lbd = self._scan[0]
+            bd_blocks = np.unique(bd_blocks)
+            bd_blocks = bd_blocks[(bd_blocks >= 0) & (bd_blocks < lbd.nb)]
+            nbd = bd_blocks.size
+            if nbd:
+                parts.append(jnp.take(
+                    lbd._arr, jnp.asarray(bd_blocks.astype(np.int64))
+                ).astype(pref.dtype))
+        packed = np.asarray(jnp.concatenate(parts))
+        nc = cols.shape[0] * cols.shape[1]
+        cols_h = packed[:nc].reshape(cols.shape)
+        pref_h = packed[nc:nc + pref.shape[0]]
+        if nbd:
+            self._scan[0].insert(bd_blocks, packed[nc + pref.shape[0]:])
+        return cols_h, pref_h
 
     def _nor_kernel(self, NSEG: int, NE: int, NB: int):
         key = ("nor", NSEG, NE, NB)
@@ -604,7 +641,10 @@ class BigDeviceEvidence(DeviceEvidence):
             jnp.int64(emitted.size),
             self._put(jnp.asarray(bk), P(None)),
             jnp.int64(brk.size))
-        return np.asarray(first), np.asarray(mincov), np.asarray(covf)
+        packed = np.asarray(jnp.concatenate(
+            [first, mincov.astype(first.dtype), covf.astype(first.dtype)]))
+        k = first.shape[0]
+        return packed[:k], packed[k:2 * k], packed[2 * k:]
 
     # ------------------------------------------------------------------
     def download_raw_into(self, profile) -> None:

@@ -190,16 +190,14 @@ def _pad(a: np.ndarray, n: int, dtype=np.int32) -> np.ndarray:
     return out
 
 
-def _prefix_download(arr, n: int) -> np.ndarray:
-    """D2H of the first >=n entries of a device array, bucketed to a
-    power of two so slice programs are reused across runs.  Consumers
-    only ever read [:n] (an overflowing n makes the caller fall back
-    before indexing, device_call.py:34)."""
-    cap = arr.shape[0]
+def _bucket(n: int, cap: int) -> int:
+    """Power-of-two prefix length >= n (capped), so slice programs are
+    reused across runs.  Consumers only ever read [:n] (an overflowing
+    n makes the caller fall back before indexing, device_call.py:34)."""
     k = 1024
     while k < n:
         k <<= 1
-    return np.asarray(arr[:min(k, cap)])
+    return min(k, cap)
 
 
 def make_device_evidence(backend, cfg, host_profile):
@@ -367,35 +365,59 @@ class DeviceEvidence:
         if self._scan is not None:
             return self._scan
         from ..calling.scan_device import (BLOCK_SIZE, LazyBlockDepth,
-                                           build_scan_kernel)
+                                           build_scan_kernel, unpack_small)
         acgt, F, multi, cov, cov_prefix = self.finalize()
         kern = build_scan_kernel(self.L, bool(self.cfg.somatic))
         freq_base = 0.01 if self.cfg.somatic else self.cfg.frequency_thr
-        bd, cand_idx, run_start, run_val, scalars, hi_part, lo_part = kern(
+        bd, cand_idx, run_start, run_val, small = kern(
             acgt, multi, cov, self._ref_codes_dev(),
             jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
-        total_cov = ((np.asarray(hi_part).astype(np.int64).sum() << 8)
-                     + np.asarray(lo_part).astype(np.int64).sum())
-        scal4 = np.concatenate([np.asarray(scalars).astype(np.int64),
-                                np.asarray([total_cov], np.int64)])
+        # exactly TWO D2H round trips: the packed counts/partials, then
+        # one packed bucketed prefix of the cand/run tables (the
+        # capacity-padded arrays are 8.5 MB for a few thousand entries,
+        # and per-transfer tunnel latency makes separate pulls costly)
+        n_cand, n_runs, n_aligned, total_cov = unpack_small(
+            np.asarray(small))
+        scal4 = np.array([n_cand, n_runs, n_aligned, total_cov], np.int64)
+        k1 = _bucket(n_cand, cand_idx.shape[0])
+        k2 = _bucket(n_runs, run_start.shape[0])
+        packed = np.asarray(jnp.concatenate(
+            [cand_idx[:k1], run_start[:k2], run_val[:k2]]))
         nb = (self.L + BLOCK_SIZE - 1) // BLOCK_SIZE
-        # download only a bucketed prefix of the candidate/run tables:
-        # consumers read [:n] (device_call.py), and the full-capacity
-        # arrays are 8.5 MB of D2H for typically a few thousand entries
-        self._scan = (LazyBlockDepth(bd, nb),
-                      _prefix_download(cand_idx, int(scal4[0])),
-                      _prefix_download(run_start, int(scal4[1])),
-                      _prefix_download(run_val, int(scal4[1])), scal4)
+        self._scan = (LazyBlockDepth(bd, nb), packed[:k1],
+                      packed[k1:k1 + k2], packed[k1 + k2:], scal4)
         return self._scan
 
-    def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray):
+    def fetch_columns(self, positions: np.ndarray, prefix_pts: np.ndarray,
+                      bd_blocks: np.ndarray = None):
+        """Gather evidence columns + cov-prefix values (one packed D2H).
+        When bd_blocks is given and scan() has run, the block-depth
+        values at those blocks ride the same transfer and seed the
+        LazyBlockDepth cache."""
         from ..calling.scan_device import build_fetch_kernel
         acgt, F, multi, cov, cov_prefix = self.finalize()
         kern = build_fetch_kernel(self.L)
         cols, pref = kern(acgt, multi, F, cov, cov_prefix,
                           jnp.asarray(positions.astype(np.int32)),
                           jnp.asarray(prefix_pts.astype(np.int32)))
-        return np.asarray(cols), np.asarray(pref)
+        parts = [cols.reshape(-1).astype(pref.dtype), pref]
+        nbd = 0
+        if bd_blocks is not None and self._scan is not None:
+            lbd = self._scan[0]
+            bd_blocks = np.unique(bd_blocks)
+            bd_blocks = bd_blocks[(bd_blocks >= 0) & (bd_blocks < lbd.nb)]
+            nbd = bd_blocks.size
+            if nbd:
+                parts.append(jnp.take(
+                    lbd._arr, jnp.asarray(bd_blocks.astype(np.int32))
+                ).astype(pref.dtype))
+        packed = np.asarray(jnp.concatenate(parts))
+        nc = cols.shape[0] * cols.shape[1]
+        cols_h = packed[:nc].reshape(cols.shape)
+        pref_h = packed[nc:nc + pref.shape[0]]
+        if nbd:
+            self._scan[0].insert(bd_blocks, packed[nc + pref.shape[0]:])
+        return cols_h, pref_h
 
     def nor_blocks(self, emitted: np.ndarray, brk: np.ndarray):
         """gVCF NOR-block reduction on the device planes: returns
@@ -413,7 +435,9 @@ class DeviceEvidence:
         first, mincov, covf = kern(cov, jnp.asarray(em),
                                    jnp.int32(emitted.size),
                                    jnp.asarray(bk), jnp.int32(brk.size))
-        return np.asarray(first), np.asarray(mincov), np.asarray(covf)
+        packed = np.asarray(jnp.concatenate([first, mincov, covf]))
+        k = first.shape[0]
+        return packed[:k], packed[k:2 * k], packed[2 * k:]
 
     def download_raw_into(self, profile) -> None:
         """Add the device planes' raw (unfolded, uncapped) contributions
