@@ -49,6 +49,13 @@ class FMIndex:
     # instead of the unbounded inverse-Psi walk of bwt_sa
     # (ref: src/BWT_Index/bwt.c:125-136).
     sa_full: Optional[np.ndarray] = None
+    # Precomputed 3-step occ table (rows usually a read-only disk
+    # memmap): the reference stores Occ checkpoints inside its .bwt
+    # artifact at index-build time (bwt_bwtupdate_core,
+    # ref: src/BWT_Index/bwtindex.c:53-75) for the same reason — the
+    # table is derived data that costs minutes per run at chromosome
+    # scale (~2.8 s/Mb host build) if rebuilt on every startup.
+    occ3_table: Optional[object] = None
 
     # ---- metadata helpers ----------------------------------------------
     @property
@@ -130,6 +137,11 @@ class FMIndex:
             "names": self.ref.names,
             "holes": [[h.offset, h.length, h.amb] for h in self.ref.holes],
         }
+        if self.occ3_table is not None:
+            from .occ3 import occ3_meta
+            np.ascontiguousarray(self.occ3_table.rows).tofile(
+                prefix + ".occ3.bin")
+            meta["occ3"] = occ3_meta(self.occ3_table)
         with open(prefix + ".mci.json", "w") as f:
             json.dump(meta, f)
 
@@ -247,6 +259,12 @@ def build_index(fasta_path: str, prefix: Optional[str] = None,
     idx = FMIndex(primary=primary, L2=L2, bwt_words=bwt_words, ckpt=ckpt,
                   sa_samp=sa_samp, seq_len=n, ref=ref, sa_full=sa_full)
     if prefix:
+        if sa_full is not None and sa_full.dtype == np.int32:
+            # precompute the device seeding table once at build time
+            # (mirrors the reference interleaving Occ checkpoints into
+            # the stored .bwt, ref: src/BWT_Index/bwtindex.c:53-75)
+            from .occ3 import build_occ3
+            idx.occ3_table = build_occ3(sa_full, text)
         idx.save(prefix)
     return idx
 
@@ -263,10 +281,19 @@ def load_index(prefix: str) -> FMIndex:
         codes=dat["codes"],
         holes=[Hole(int(o), int(l), a) for o, l, a in meta["holes"]],
     )
+    occ3_table = None
+    bin_path = prefix + ".occ3.bin"
+    if "occ3" in meta and os.path.exists(bin_path):
+        from .occ3 import occ3_from_meta
+        m = meta["occ3"]
+        rows = np.memmap(bin_path, dtype=np.int32, mode="r",
+                         shape=(int(m["nw3"]), 72))
+        occ3_table = occ3_from_meta(m, rows)
     return FMIndex(primary=int(dat["primary"]), L2=dat["L2"],
                    bwt_words=dat["bwt_words"], ckpt=dat["ckpt"],
                    sa_samp=dat["sa_samp"], seq_len=int(dat["seq_len"]), ref=ref,
-                   sa_full=dat["sa_full"] if "sa_full" in dat.files else None)
+                   sa_full=dat["sa_full"] if "sa_full" in dat.files else None,
+                   occ3_table=occ3_table)
 
 
 def index_exists(prefix: str) -> bool:

@@ -200,6 +200,25 @@ def build_occ3_64(sa_full: np.ndarray, text: np.ndarray,
                        tail2b=int(text[n - 1]))
 
 
+def occ3_meta(tab: Occ3Table) -> dict:
+    """JSON-serializable scalars of an Occ3Table (the rows array is
+    persisted separately as a raw .bin, see fmindex.FMIndex.save)."""
+    return {"nw3": int(tab.rows.shape[0]),
+            "c3_first": [int(x) for x in tab.c3_first],
+            "row_p1": tab.row_p1, "row_p2": tab.row_p2,
+            "t0": tab.t0, "t1": tab.t1, "tail1": tab.tail1,
+            "tail2a": tab.tail2a, "tail2b": tab.tail2b}
+
+
+def occ3_from_meta(meta: dict, rows: np.ndarray) -> Occ3Table:
+    return Occ3Table(rows=rows,
+                     c3_first=np.asarray(meta["c3_first"], dtype=np.int32),
+                     row_p1=int(meta["row_p1"]), row_p2=int(meta["row_p2"]),
+                     t0=int(meta["t0"]), t1=int(meta["t1"]),
+                     tail1=int(meta["tail1"]), tail2a=int(meta["tail2a"]),
+                     tail2b=int(meta["tail2b"]))
+
+
 def occ3_oracle(tab: Occ3Table, d: int, i: int) -> int:
     """# rows j < i with sym[j] == d (test oracle)."""
     w, m = i >> 4, i & 15

@@ -73,7 +73,11 @@ class DeviceFM3:
             raise NotImplementedError("occ3 build requires sa_full (use the "
                                       "1-step kernel for >1Gbp genomes)")
         assert 0 <= pfx_k <= 15   # must stay below MinSeedLength
-        tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
+        # prefer the table persisted at index-build time (a disk
+        # memmap — rebuilding costs ~2.8 s/Mb of host CPU per run)
+        tab = idx.occ3_table
+        if tab is None:
+            tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
         fm = dev_fm if dev_fm is not None else DeviceFMIndex.from_host(idx)
         pfx = (build_prefix_table(fm, pfx_k) if pfx_k > 0
                else jnp.zeros((0, 4), jnp.int32))

@@ -105,6 +105,26 @@ def test_save_load_roundtrip(tmp_path):
     assert idx2.ref.names == ["chr1"]
 
 
+def test_occ3_persisted_with_prefix(tmp_path):
+    """build_index(prefix) precomputes the occ3 seeding table (mirrors
+    the reference interleaving Occ checkpoints into the stored .bwt,
+    ref: src/BWT_Index/bwtindex.c:53-75); load_index memmaps it and the
+    persisted table is identical to a fresh rebuild."""
+    from mapcaller_tpu.index.occ3 import build_occ3
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=3000).astype(np.uint8)
+    idx = build_index(None, packed=make_ref(codes), prefix=str(tmp_path / "t"))
+    assert os.path.exists(str(tmp_path / "t") + ".occ3.bin")
+    idx2 = load_index(str(tmp_path / "t"))
+    assert idx2.occ3_table is not None
+    fresh = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
+    for f in ("row_p1", "row_p2", "t0", "t1", "tail1", "tail2a", "tail2b"):
+        assert getattr(idx2.occ3_table, f) == getattr(fresh, f)
+    assert np.array_equal(np.asarray(idx2.occ3_table.rows), fresh.rows)
+    assert np.array_equal(np.asarray(idx2.occ3_table.c3_first),
+                          fresh.c3_first)
+
+
 BWA_PREFIX = "/tmp/refbuild/test/RefIdx"
 
 
