@@ -83,6 +83,8 @@ def load_lib():
                                             C.c_void_p]
         lib.mc_fast_bits.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
         lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
+        lib.mc_host_planes_dirty.argtypes = [C.c_void_p]
+        lib.mc_host_planes_dirty.restype = C.c_int32
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         _lib = lib
@@ -150,6 +152,11 @@ class NativeEngine:
                 self.lib.mc_destroy(self.ctx)
         except Exception:
             pass
+
+    def host_planes_dirty(self) -> bool:
+        """True once any HOST plane/diff array received evidence (the
+        C++ slow path writes them invisibly to Python)."""
+        return bool(self.lib.mc_host_planes_dirty(self.ctx))
 
     def enable_diff_mode(self, profile) -> None:
         """Switch evidence accumulation to O(1)/read diff-array endpoints

@@ -234,6 +234,11 @@ class BigDeviceEvidence(DeviceEvidence):
     def _merge_host_deltas(self) -> None:
         p = self.host_profile
         L = self.L
+        if (hasattr(p, "any_host_evidence")
+                and not p.any_host_evidence()):
+            # no host-side evidence this run (all reads applied on
+            # device): skip eight O(L) nonzero scans + a merge dispatch
+            return
 
         def nz(arr):
             a = np.asarray(arr).reshape(-1)

@@ -310,6 +310,11 @@ class DeviceEvidence:
         diff entries + point adds) into the device planes, once."""
         p = self.host_profile
         L = self.L
+        if (hasattr(p, "any_host_evidence")
+                and not p.any_host_evidence()):
+            # no host-side evidence this run (all reads applied on
+            # device): skip eight O(L) nonzero scans + a merge dispatch
+            return
 
         def nz(arr, base, width):
             a = np.asarray(arr).reshape(-1)

@@ -52,6 +52,19 @@ class Profile:
         # +1/-1 endpoints, cumsum'd once by finalize_diffs()
         self.F1_diff = self.R2_diff = self.F2_diff = self.R1_diff = None
         self.multi_diff = None
+        # host-evidence dirtiness: lets the device merge skip its O(L)
+        # nonzero scans when every read's evidence applied on device.
+        # host_dirty covers Python writers; dirty_probes are callables
+        # for writers Python can't see (the native C++ slow path). With
+        # NO probes registered, assume dirty (manual test setups poke
+        # the arrays directly).
+        self.host_dirty = False
+        self.dirty_probes: List = []
+
+    def any_host_evidence(self) -> bool:
+        if self.host_dirty or not self.dirty_probes:
+            return True
+        return any(p() for p in self.dirty_probes)
 
     def alloc_diffs(self) -> None:
         n1 = self.n + 1
@@ -105,6 +118,7 @@ class Profile:
     def update_profile(self, genome: Genome, b_first_read: bool,
                        read: ReadState, cans: List[AlnCan],
                        max_duplicate: int, max_clip_size: int) -> None:
+        self.host_dirty = True
         L = genome.genome_size
         two_l = genome.two_genome_size
         for can in cans:
@@ -203,6 +217,7 @@ class Profile:
 
     # -- UpdateMultiHitCount (ref: AlignmentProfile.cpp:244-271) ---------
     def update_multi_hit(self, genome: Genome, cans: List[AlnCan]) -> None:
+        self.host_dirty = True
         two_l = genome.two_genome_size
         for can in cans:
             if can.score > 0:

@@ -44,6 +44,10 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         engine.device_evidence = make_device_evidence(be, cfg,
                                                       engine.profile)
         native.set_ops_mode(True)
+        # the C++ slow path writes host planes invisibly to Python:
+        # register its dirtiness probe so the device merge can skip
+        # its O(L) nonzero scans when every read stayed on device
+        engine.profile.dirty_probes.append(native.host_planes_dirty)
     fold_ev = (engine.device_evidence
                if use_device_evidence and getattr(cfg, "fold_evidence", False)
                else None)

@@ -75,6 +75,10 @@ struct Ctx {
   // applies them to the HBM-resident planes with exact file-order gate
   // semantics (pipeline/device_profile.py)
   bool ops_mode = false;   // fast-read evidence applied on device
+  // true once any HOST plane/diff array received evidence (slow-path
+  // reads, or every read when ops_mode is off): lets the device merge
+  // skip its O(L) nonzero scans when the host side stayed clean
+  bool host_planes_dirty = false;
   std::vector<uint32_t> fast_bits;
   // device gapped extension: DP-pair strings collected by a dry pass,
   // aligned in one Pallas batch, consumed via this cache (bit-identical
@@ -1218,6 +1222,7 @@ static void fast_profile(Ctx& c, bool b_first, Read& rd, AlnCan& can) {
   i64 g_start = ori ? pd : c.two_l - pd - rd.rlen;
   if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
   else return;
+  c.host_planes_dirty = true;
   i64 end = std::min<i64>(g_start + rd.rlen, c.L);
   if (emit) {
     i32* fd = c.f_diff[b_first ? (ori ? 0 : 3) : (ori ? 1 : 2)];
@@ -1291,6 +1296,7 @@ static void update_profile(Ctx& c, bool b_first, Read& rd, vector<Event>& evs,
                          : (can.orientation ? 1 : 2);
     if (c.read_count[g_start] < c.max_duplicate) c.read_count[g_start]++;
     else continue;
+    c.host_planes_dirty = true;
     if (emit) {
       i32* fd = c.f_diff[fplane];
       fd[g_start]++;
@@ -1354,6 +1360,7 @@ static void update_multi_hit(Ctx& c, Read& rd) {
       if (g < 0) g = 0;
       if (ge > c.L) ge = c.L;
       if (ge <= g) continue;
+      c.host_planes_dirty = true;
       if (c.emit_segments) {
         c.multi_diff[g]++;
         c.multi_diff[ge]--;
@@ -2130,6 +2137,12 @@ void mc_set_diff_mode(void* ctx, i32* f1d, i32* r2d, i32* f2d, i32* r1d,
   c->multi_diff = multid;
   c->exact_diff = exactd;
   c->emit_segments = f1d != nullptr;
+}
+
+// whether any HOST plane/diff array received evidence this run (lets
+// the device-evidence merge skip its O(L) nonzero scans when clean)
+i32 mc_host_planes_dirty(void* ctx) {
+  return ((Ctx*)ctx)->host_planes_dirty ? 1 : 0;
 }
 
 // copy out SAM text + events + discord sites from the last mc_process_chunk
