@@ -31,7 +31,13 @@ from .suffix import build_suffix_array, bwt_from_sa
 
 OCC_INTERVAL = 128
 SA_INTERVAL = 32
-FORMAT_VERSION = 1
+# v2: arrays live in a raw <prefix>.mci.bin sidecar (64 B-aligned,
+# offsets in the JSON meta) and load as read-only memmaps. The v1
+# np.savez zip container streamed ~10 MB/s through zipfile's CRC path
+# at load time — ~1 min of startup for a 60 Mb genome, unacceptable
+# against the reference's plain fread restore (bwt_restore_bwt,
+# ref: src/BWT_Index/bwt.c:642-667).
+FORMAT_VERSION = 2
 
 
 @dataclasses.dataclass
@@ -118,29 +124,57 @@ class FMIndex:
 
     # ---- persistence ---------------------------------------------------
     def save(self, prefix: str) -> None:
-        extra = {}
+        arrays = {
+            "L2": self.L2,
+            "bwt_words": self.bwt_words,
+            "ckpt": self.ckpt,
+            "sa_samp": self.sa_samp,
+            "codes": self.ref.codes,
+            "chrom_lengths": np.asarray(self.ref.lengths, dtype=np.int64),
+            "chrom_offsets": np.asarray(self.ref.offsets, dtype=np.int64),
+        }
         if self.sa_full is not None:
-            extra["sa_full"] = self.sa_full
-        np.savez(prefix + ".mci.npz",
-                 primary=np.int64(self.primary),
-                 L2=self.L2,
-                 bwt_words=self.bwt_words,
-                 ckpt=self.ckpt,
-                 sa_samp=self.sa_samp,
-                 seq_len=np.int64(self.seq_len),
-                 codes=self.ref.codes,
-                 chrom_lengths=np.asarray(self.ref.lengths, dtype=np.int64),
-                 chrom_offsets=np.asarray(self.ref.offsets, dtype=np.int64),
-                 **extra)
+            arrays["sa_full"] = self.sa_full
+        table = {}
+        off = 0
+        # write-then-rename: arrays may be memmaps of the destination
+        # file itself (a loaded index being re-saved) — truncating in
+        # place would destroy the data under the reader, while a rename
+        # leaves live memmaps on the old inode
+        with open(prefix + ".mci.bin.tmp", "wb") as f:
+            for name, a in arrays.items():
+                a = np.ascontiguousarray(a)
+                pad = (-off) % 64
+                if pad:
+                    f.write(b"\0" * pad)
+                    off += pad
+                table[name] = {"dtype": a.dtype.str, "shape": list(a.shape),
+                               "offset": off}
+                f.write(a.tobytes())
+                off += a.nbytes
+        os.replace(prefix + ".mci.bin.tmp", prefix + ".mci.bin")
         meta = {
             "version": FORMAT_VERSION,
+            "primary": int(self.primary),
+            "seq_len": int(self.seq_len),
+            "arrays": table,
             "names": self.ref.names,
             "holes": [[h.offset, h.length, h.amb] for h in self.ref.holes],
         }
         if self.occ3_table is not None:
             from .occ3 import occ3_meta
-            np.ascontiguousarray(self.occ3_table.rows).tofile(
-                prefix + ".occ3.bin")
+            rows = self.occ3_table.rows
+            dst = prefix + ".occ3.bin"
+            # re-saving a loaded index: rows may already BE a memmap of
+            # the destination file — truncating it for rewrite would
+            # destroy the data under the reader
+            same_file = (isinstance(rows, np.memmap)
+                         and getattr(rows, "filename", None) is not None
+                         and os.path.abspath(rows.filename)
+                         == os.path.abspath(dst))
+            if not same_file:
+                np.ascontiguousarray(rows).tofile(dst + ".tmp")
+                os.replace(dst + ".tmp", dst)
             meta["occ3"] = occ3_meta(self.occ3_table)
         with open(prefix + ".mci.json", "w") as f:
             json.dump(meta, f)
@@ -271,9 +305,21 @@ def build_index(fasta_path: str, prefix: Optional[str] = None,
 
 def load_index(prefix: str) -> FMIndex:
     from .packer import Hole
-    dat = np.load(prefix + ".mci.npz")
     with open(prefix + ".mci.json") as f:
         meta = json.load(f)
+    if "arrays" in meta:   # v2: raw sidecar, zero-copy memmaps
+        mm = {}
+        for name, spec in meta["arrays"].items():
+            mm[name] = np.memmap(prefix + ".mci.bin",
+                                 dtype=np.dtype(spec["dtype"]), mode="r",
+                                 offset=int(spec["offset"]),
+                                 shape=tuple(spec["shape"]))
+        dat, files = mm, set(mm)
+        primary, seq_len = int(meta["primary"]), int(meta["seq_len"])
+    else:                  # v1 legacy: np.savez container
+        dat = np.load(prefix + ".mci.npz")
+        files = set(dat.files)
+        primary, seq_len = int(dat["primary"]), int(dat["seq_len"])
     ref = PackedReference(
         names=list(meta["names"]),
         lengths=[int(x) for x in dat["chrom_lengths"]],
@@ -289,12 +335,14 @@ def load_index(prefix: str) -> FMIndex:
         rows = np.memmap(bin_path, dtype=np.int32, mode="r",
                          shape=(int(m["nw3"]), 72))
         occ3_table = occ3_from_meta(m, rows)
-    return FMIndex(primary=int(dat["primary"]), L2=dat["L2"],
+    return FMIndex(primary=primary, L2=np.asarray(dat["L2"]),
                    bwt_words=dat["bwt_words"], ckpt=dat["ckpt"],
-                   sa_samp=dat["sa_samp"], seq_len=int(dat["seq_len"]), ref=ref,
-                   sa_full=dat["sa_full"] if "sa_full" in dat.files else None,
+                   sa_samp=dat["sa_samp"], seq_len=seq_len, ref=ref,
+                   sa_full=dat["sa_full"] if "sa_full" in files else None,
                    occ3_table=occ3_table)
 
 
 def index_exists(prefix: str) -> bool:
-    return os.path.exists(prefix + ".mci.npz") and os.path.exists(prefix + ".mci.json")
+    return os.path.exists(prefix + ".mci.json") and (
+        os.path.exists(prefix + ".mci.bin")
+        or os.path.exists(prefix + ".mci.npz"))

@@ -85,6 +85,7 @@ def load_lib():
         lib.mc_set_diff_mode.argtypes = [C.c_void_p] + [C.c_void_p] * 6
         lib.mc_host_planes_dirty.argtypes = [C.c_void_p]
         lib.mc_host_planes_dirty.restype = C.c_int32
+        lib.mc_reset_run.argtypes = [C.c_void_p]
         lib.mc_nw.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         lib.mc_ksw2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p]
         _lib = lib
@@ -157,6 +158,12 @@ class NativeEngine:
         """True once any HOST plane/diff array received evidence (the
         C++ slow path writes them invisibly to Python)."""
         return bool(self.lib.mc_host_planes_dirty(self.ctx))
+
+    def reset_run(self) -> None:
+        """Clear per-run accumulators (discord state, fast-bits, DP
+        caches, host-dirtiness) so this Ctx can serve another run; the
+        borrowed numpy planes are zeroed by MappingEngine.reset_run."""
+        self.lib.mc_reset_run(self.ctx)
 
     def enable_diff_mode(self, profile) -> None:
         """Switch evidence accumulation to O(1)/read diff-array endpoints

@@ -76,6 +76,34 @@ class MappingEngine:
                 sys.stderr.write(f"[warn] native runtime unavailable ({e}); "
                                  f"using Python pipeline\n")
 
+    def reset_run(self) -> None:
+        """In-place reset for engine reuse (long-running / multi-run
+        use): zero the genome-sized planes instead of reallocating them
+        — on this VM class re-faulting multi-GB fresh allocations costs
+        tens of seconds per run, while memset of resident pages runs at
+        RAM speed. The C++ ctx keeps its borrowed plane pointers (they
+        don't move) and clears its own per-run accumulators."""
+        p = self.profile
+        if p is not None:
+            for a in (p.acgt, p.multi_hit, p.read_count,
+                      p.F1, p.R2, p.F2, p.R1,
+                      p.F1_diff, p.R2_diff, p.F2_diff, p.R1_diff,
+                      p.multi_diff, getattr(p, "exact_diff", None)):
+                if a is not None:
+                    a[...] = 0
+            p.break_point.clear()
+            p.insert_map.clear()
+            p.delete_map.clear()
+            p.host_dirty = False
+            p.dirty_probes.clear()
+        self.stats = RunStats(fragment_size=self.cfg.fragment_size)
+        self.inv_sites.clear()
+        self.tnl_sites.clear()
+        self._discord_gpos = 0
+        self.device_evidence = None
+        if self.native is not None:
+            self.native.reset_run()
+
     def enable_diff_profile(self) -> None:
         """Stream fast path: O(1)/read evidence accumulation — exact-match
         coverage and range counters as +1/-1 diff endpoints, materialized

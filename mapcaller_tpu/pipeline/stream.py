@@ -34,15 +34,26 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
     engine.profile (in place via C++), engine.inv_sites/tnl_sites."""
     native = engine.native
     be = engine.backend
+    _sp = os.environ.get("MC_STAGE_PROF")
+    _pt = time.perf_counter() if _sp else 0.0
+
+    def _mark(label):
+        nonlocal _pt
+        if _sp:
+            now = time.perf_counter()
+            sys.stderr.write(f"[stage-prof] pre {label}: {now - _pt:.2f}s\n")
+            _pt = now
     use_device_evidence = (cfg.vcf_output and be.chain_enabled
                            and getattr(cfg, "device_evidence", True))
     if cfg.vcf_output:
         # slow-read evidence always accumulates in the host diff arrays
         engine.enable_diff_profile()
+    _mark("enable_diff_profile")
     if use_device_evidence:
         from .device_profile import make_device_evidence
         engine.device_evidence = make_device_evidence(be, cfg,
                                                       engine.profile)
+        _mark("make_device_evidence")
         native.set_ops_mode(True)
         # the C++ slow path writes host planes invisibly to Python:
         # register its dirtiness probe so the device merge can skip
@@ -62,6 +73,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         buf2 = _load_bytes(f2) if f2 is not None else None
         fastq = buf1[:1] == b"@"
         native.set_input(buf1, buf2, cfg.pair_interleaved)
+        _mark("load+set_input")
 
         # device kernels require batch % 32 == 0 (fm_search assertions)
         sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
@@ -104,6 +116,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 break
             pslot, pn, ptoken = pending.popleft()
             if use_chain:
+                if prof is not None and prof["batches"] == 0:
+                    _mark("first-submit(s)")
                 t0 = pc() if prof is not None else 0.0
                 (cls, pd, mm, rplast, cscore, counts, rp, gp,
                  ln) = be.collect_chain(
@@ -111,6 +125,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 if prof is not None:
                     t1 = pc()
                     prof["collect"] += t1 - t0
+                    if prof["batches"] == 0:
+                        _mark("first-collect")
                 if getattr(cfg, "device_extension", False):
                     sam_text, st = native.process_batch_cls_devdp(
                         pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,

@@ -60,7 +60,7 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
             metrics["calling_seconds"] = round(time.time() - t0, 3)
     finally:
         if temp_prefix:
-            for ext in (".mci.npz", ".mci.json"):
+            for ext in (".mci.npz", ".mci.bin", ".mci.json", ".occ3.bin"):
                 try:
                     os.remove(temp_prefix + ext)
                 except OSError:

@@ -2145,6 +2145,21 @@ i32 mc_host_planes_dirty(void* ctx) {
   return ((Ctx*)ctx)->host_planes_dirty ? 1 : 0;
 }
 
+// clear the per-run accumulators so one Ctx (and its borrowed numpy
+// planes, memset by Python) can serve repeated runs without the
+// multi-GB reallocation — re-faulting genome-sized arrays costs tens
+// of seconds on this VM class, and long-running/server use should pay
+// plane allocation once per process, not per run
+void mc_reset_run(void* ctx) {
+  Ctx* c = (Ctx*)ctx;
+  c->discord_gpos = 0;
+  c->host_planes_dirty = false;
+  c->ops_mode = false;   // the next run re-opts-in via mc_set_ops_mode
+  c->fast_bits.clear();
+  c->dp_cache.clear();
+  c->dp_pending.clear();
+}
+
 // copy out SAM text + events + discord sites from the last mc_process_chunk
 void mc_fetch(void* ctx, char* sam_buf, i64* ev_gpos, i32* ev_kind,
               i32* ev_seq_len, char* ev_seq_concat,

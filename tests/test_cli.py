@@ -28,7 +28,8 @@ def test_on_the_fly_index(toy_fasta, tmp_path, monkeypatch):
     # same records as the unfiltered default run (filter only changes FILTER col)
     assert len(got) == len(want)
     # temp index removed
-    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".mci.npz")]
+    leftovers = [f for f in os.listdir(tmp_path)
+                 if f.endswith((".mci.npz", ".mci.bin", ".occ3.bin"))]
     assert leftovers == []
 
 
