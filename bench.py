@@ -104,11 +104,15 @@ def main():
     cold_reads = engine.stats.total_reads
 
     # timed: best of 3 steady-state passes (the VM's page-fault and
-    # tunnel-latency noise can double a single pass; see BASELINE.md)
-    from mapcaller_tpu.pipeline.engine import MappingEngine
+    # tunnel-latency noise can double a single pass; see BASELINE.md).
+    # Passes reuse the warm engine via reset_run (in-place plane memset,
+    # byte-identical to a fresh engine — tests/test_engine_reuse.py):
+    # re-allocating genome-sized planes per pass re-faults them inside
+    # the timed window, which measures the VM's page-fault pathology,
+    # not the pipeline.
     map_time = call_time = float("inf")
     for _ in range(3):
-        engine = MappingEngine(idx, cfg, backend=engine.backend)
+        engine.reset_run()
         t0 = time.time()
         run_stream_mapping(engine, cfg, t0)
         engine.finalize()

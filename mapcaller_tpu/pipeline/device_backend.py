@@ -39,9 +39,18 @@ class DeviceBackend:
         self.n_tier_reruns = 0
         self.n_full_fallbacks = 0
         self.n_oracle_reads = 0
-        # 3-step occ table: ~18 B/text-base of HBM; cap its use at 512 Mbp
-        # of text (fwd+rc) so big genomes fall back to the 1-step kernel
-        self._fm3_ok = idx.sa_full is not None and idx.seq_len < (1 << 29)
+        # 3-step occ table: 18 B/text-row of HBM that must coexist with
+        # the 1-step rows (2 B/row, always resident), the full SA
+        # (<=2 GB, fm_device budget), the evidence planes (~48 B/
+        # genome-base with calling, incl. scan headroom) and ~1.5 GB of
+        # kernel workspace. Use it only when the whole working set fits
+        # the chip — measured: 200 Mb + occ3 + planes = 20.3 GB on a
+        # 15.75 GB v5e (compile-time OOM). Beyond the budget the 1-step
+        # kernel (no table) takes over; beyond one chip entirely,
+        # -shards N shards the index over the mesh.
+        self._fm3_ok = (idx.sa_full is not None
+                        and idx.seq_len < (1 << 31) - 2
+                        and self._occ3_fits(idx, cfg))
         # genome-sharded occ3 over an N-device mesh (human-scale index):
         # lifts the single-chip HBM cap by ~N (parallel/sharded_index.py)
         self.index_shards = int(getattr(cfg, "index_shards", 0) or 0)
@@ -76,6 +85,29 @@ class DeviceBackend:
                 "(genome-sharded x64 index) on an N-device mesh")
         self._sharded = None
         self._big = None
+
+    @staticmethod
+    def _hbm_bytes() -> int:
+        """Per-device HBM capacity: memory_stats when the runtime
+        reports it, else MC_HBM_BYTES, else 16 GB (v5e/v6e-class)."""
+        import os as _os
+        import jax as _jax
+        try:
+            ms = _jax.local_devices()[0].memory_stats()
+            if ms and ms.get("bytes_limit"):
+                return int(ms["bytes_limit"])
+        except Exception:
+            pass
+        return int(_os.environ.get("MC_HBM_BYTES", 16_000_000_000))
+
+    def _occ3_fits(self, idx, cfg) -> bool:
+        n, L = idx.seq_len, idx.genome_size
+        occ1 = 2 * n                         # [nw+1, 8] int32 rows
+        occ3 = (n // 16 + 2) * 288
+        sa = min(4 * (n + 1), 2 << 30)       # fm_device sa_budget cap
+        planes = 48 * L if getattr(cfg, "vcf_output", True) else 0
+        workspace = 1_500_000_000            # stream buffers + HLO temps
+        return occ1 + occ3 + sa + planes + workspace <= self._hbm_bytes()
 
     @property
     def fm3(self):

@@ -36,3 +36,28 @@ def test_device_seeding_matches_golden_sam(toy_fasta):
         sam.extend(engine.process_chunk(ch, True))
     golden = read_lines(os.path.join(DATA, "sub_ref.sam.gz"))
     assert sam == golden
+
+
+def test_occ3_hbm_budget_predicate():
+    """The 3-step table is selected only when table + SA + evidence
+    planes + workspace fit the chip (a 200 Mb genome with calling
+    measured 20.3 GB on a 15.75 GB v5e — compile-time OOM); oversize
+    genomes must fall back to the 1-step kernel instead of crashing."""
+    be = DeviceBackend.__new__(DeviceBackend)
+
+    class _I:
+        pass
+
+    class _CfgCall:
+        vcf_output = True
+
+    class _CfgMap:
+        vcf_output = False
+
+    for mb, call_ok, map_ok in ((4.6, True, True), (60, True, True),
+                                (200, False, True), (500, False, False)):
+        i = _I()
+        i.genome_size = int(mb * 1e6)
+        i.seq_len = 2 * i.genome_size
+        assert be._occ3_fits(i, _CfgCall()) == call_ok, mb
+        assert be._occ3_fits(i, _CfgMap()) == map_ok, mb
