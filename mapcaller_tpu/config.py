@@ -62,6 +62,12 @@ class Config:
                                                 # >1 costs ~mean trajectory
                                                 # instead of max
     device_chain: bool = True                   # device chaining/classification
+    device_evidence: bool = True                # HBM evidence planes; auto-
+                                                # falls back to the host C++
+                                                # diff arrays when they exceed
+                                                # the chip's HBM budget
+                                                # (DeviceBackend
+                                                # ._device_evidence_fits)
     index_shards: int = 0                       # >1: genome-shard the occ3
                                                 # table over an N-device mesh
                                                 # (human-scale index path)

@@ -293,10 +293,15 @@ def build_index(fasta_path: str, prefix: Optional[str] = None,
     idx = FMIndex(primary=primary, L2=L2, bwt_words=bwt_words, ckpt=ckpt,
                   sa_samp=sa_samp, seq_len=n, ref=ref, sa_full=sa_full)
     if prefix:
-        if sa_full is not None and sa_full.dtype == np.int32:
-            # precompute the device seeding table once at build time
+        if (os.environ.get("MC_PERSIST_OCC3")
+                and sa_full is not None and sa_full.dtype == np.int32):
+            # optionally persist the 18 B/text-base seeding table
             # (mirrors the reference interleaving Occ checkpoints into
-            # the stored .bwt, ref: src/BWT_Index/bwtindex.c:53-75)
+            # the stored .bwt, ref: src/BWT_Index/bwtindex.c:53-75).
+            # Off by default: the production path now derives the table
+            # ON DEVICE from the resident SA + packed text
+            # (ops/fm3_device._occ3_rows_device), so the artifact only
+            # serves hosts without a device-resident full SA.
             from .occ3 import build_occ3
             idx.occ3_table = build_occ3(sa_full, text)
         idx.save(prefix)

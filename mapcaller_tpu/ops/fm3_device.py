@@ -16,6 +16,7 @@ loop (ref: src/bwt_search.cpp:121-164): ~3x fewer sequential gathers.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,73 @@ import numpy as np
 from ..index.fmindex import FMIndex
 from ..index.occ3 import build_occ3
 from .fm_device import DeviceFMIndex
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _occ3_rows_device(sa: jnp.ndarray, words: jnp.ndarray,
+                      n: int, nw3: int):
+    """Build the occ3 table ON DEVICE from the (already-resident) full
+    SA and packed text words, instead of shipping an 18 B/text-base
+    precomputed table from the host: uploads drop from ~36 B/genome-base
+    to the ~4.5 B/base the SA+text already cost, and the derivation is
+    a few elementwise/gather passes (~seconds) — the tpu-native
+    equivalent of the reference interleaving Occ checkpoints into its
+    stored .bwt (ref: src/BWT_Index/bwtindex.c:53-75). Bit-identical to
+    index/occ3.build_occ3 (tests/test_fm3_device_build.py).
+
+    -> (rows int32[nw3, 72], c3_first int32[64],
+        pp int32[2] = (row_p1, row_p2))."""
+    total = nw3 * 16
+    p = jnp.concatenate([sa.astype(jnp.int32),
+                         jnp.full(total - sa.shape[0], -1, jnp.int32)])
+    # sym[j] = T[p-3]*16 + T[p-2]*4 + T[p-1]; the three crumbs live in
+    # at most two adjacent bwa-order words (T[i] = w[i>>4] >> (15-i&15)*2)
+    q = jnp.clip(p - 3, 0, n)
+    wi = q >> 4
+    off = q & 15
+    w0 = words[wi].astype(jnp.uint32)
+    w1 = words[wi + 1].astype(jnp.uint32)
+    sh_a = (jnp.maximum(13 - off, 0) * 2).astype(jnp.uint32)
+    sym_a = (w0 >> sh_a) & 63
+    sym_b = ((w0 & 15) << 2) | (w1 >> 30)
+    sym_c = ((w0 & 3) << 4) | (w1 >> 28)
+    sym3 = jnp.where(off <= 13, sym_a,
+                     jnp.where(off == 14, sym_b, sym_c)).astype(jnp.int32)
+    sym = jnp.where(p >= 3, sym3, 255)
+    blocks = sym.reshape(nw3, 16)
+
+    d_row = jnp.arange(64, dtype=jnp.int32)[None, :]
+    per = jnp.zeros((nw3, 64), jnp.int32)
+    for k in range(16):
+        per = per + (blocks[:, k:k + 1] == d_row).astype(jnp.int32)
+    cnt = jnp.concatenate([jnp.zeros((1, 64), jnp.int32),
+                           jnp.cumsum(per, axis=0)[:-1]])
+
+    b = blocks.astype(jnp.uint32).reshape(nw3, 4, 4)
+    sh8 = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    packed = (b << sh8).sum(axis=2, dtype=jnp.uint32)
+    packed_i32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    rows = jnp.concatenate(
+        [cnt, packed_i32, jnp.zeros((nw3, 4), jnp.int32)], axis=1)
+
+    # c3_first[d] = #{suffixes whose base-5 start key < dkey(d)} — a
+    # multiset count, so no sort is needed (the host path's
+    # searchsorted over SA-ordered keys computes the same quantity)
+    i = jnp.arange(n, dtype=jnp.int32)
+    T = ((words[i >> 4].astype(jnp.uint32)
+          >> (((15 - (i & 15)) * 2).astype(jnp.uint32))) & 3).astype(jnp.int32)
+    k0 = jnp.concatenate([T + 1, jnp.zeros(1, jnp.int32)])
+    k1 = jnp.concatenate([T[1:] + 1, jnp.zeros(2, jnp.int32)])
+    k2 = jnp.concatenate([T[2:] + 1, jnp.zeros(3, jnp.int32)])
+    keys = k0 * 25 + k1 * 5 + k2
+    d = np.arange(64)
+    dkeys = ((d >> 4) + 1) * 25 + (((d >> 2) & 3) + 1) * 5 + ((d & 3) + 1)
+    c3_first = jnp.stack(
+        [(keys < int(dk)).sum(dtype=jnp.int32) for dk in dkeys])
+
+    pp = jnp.stack([jnp.argmax(sa == 1).astype(jnp.int32),
+                    jnp.argmax(sa == 2).astype(jnp.int32)])
+    return rows, c3_first, pp
 
 
 @jax.tree_util.register_pytree_node_class
@@ -68,19 +136,39 @@ class DeviceFM3:
     @classmethod
     def from_host(cls, idx: FMIndex,
                   dev_fm: DeviceFMIndex | None = None,
-                  pfx_k: int = 0) -> "DeviceFM3":
+                  pfx_k: int = 0,
+                  text_words: jnp.ndarray | None = None) -> "DeviceFM3":
         if idx.sa_full is None:
             raise NotImplementedError("occ3 build requires sa_full (use the "
                                       "1-step kernel for >1Gbp genomes)")
         assert 0 <= pfx_k <= 15   # must stay below MinSeedLength
-        # prefer the table persisted at index-build time (a disk
-        # memmap — rebuilding costs ~2.8 s/Mb of host CPU per run)
-        tab = idx.occ3_table
-        if tab is None:
-            tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
         fm = dev_fm if dev_fm is not None else DeviceFMIndex.from_host(idx)
         pfx = (build_prefix_table(fm, pfx_k) if pfx_k > 0
                else jnp.zeros((0, 4), jnp.int32))
+        if fm.has_full_sa and idx.sa_full.dtype == np.int32:
+            # derive the table on device from the resident SA + packed
+            # text (see _occ3_rows_device): no 18 B/base host table to
+            # build, persist, or upload
+            if text_words is None:
+                from ..index.fmindex import pack_words
+                w = pack_words(idx.ref.fwd_rc_codes())
+                text_words = jnp.asarray(
+                    np.concatenate([w, np.zeros(2, dtype=np.uint32)]))
+            n = idx.seq_len
+            nw3 = (n + 16) // 16 + 2
+            rows, c3_first, pp = _occ3_rows_device(fm.sa_full, text_words,
+                                                   n, nw3)
+            pp = np.asarray(pp)
+            c0, c1 = int(idx.ref.codes[0]), int(idx.ref.codes[1])
+            return cls(fm=fm, occ3_rows=rows, c3_first=c3_first, pfx=pfx,
+                       row_p1=int(pp[0]), row_p2=int(pp[1]),
+                       t0=c0, t1=c1, tail1=3 - c0,
+                       tail2a=3 - c1, tail2b=3 - c0, pfx_k=pfx_k)
+        # no device-resident SA: fall back to the persisted artifact
+        # (disk memmap) or a host rebuild (~2.8 s/Mb)
+        tab = idx.occ3_table
+        if tab is None:
+            tab = build_occ3(idx.sa_full, idx.ref.fwd_rc_codes())
         return cls(fm=fm,
                    occ3_rows=jnp.asarray(tab.rows),
                    c3_first=jnp.asarray(tab.c3_first),

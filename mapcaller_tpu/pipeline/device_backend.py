@@ -85,6 +85,13 @@ class DeviceBackend:
                 "(genome-sharded x64 index) on an N-device mesh")
         self._sharded = None
         self._big = None
+        # device-resident evidence planes: budget-gated on one chip
+        # (fall back to the host C++ diff arrays when they don't fit);
+        # the big sharded path keeps them genome-sharded at O(L/n) per
+        # device instead (pipeline/big_profile.py)
+        self.device_evidence_ok = (
+            (self.big_x64 and self.index_shards > 1)
+            or self._device_evidence_fits(idx, cfg))
 
     @staticmethod
     def _hbm_bytes() -> int:
@@ -100,14 +107,34 @@ class DeviceBackend:
             pass
         return int(_os.environ.get("MC_HBM_BYTES", 16_000_000_000))
 
+    _WORKSPACE = 1_500_000_000               # stream buffers + HLO temps
+
     def _occ3_fits(self, idx, cfg) -> bool:
-        n, L = idx.seq_len, idx.genome_size
-        occ1 = 2 * n                         # [nw+1, 8] int32 rows
+        """Mapping working set with the 3-step table: occ1 rows
+        (2 B/text-row, always resident) + occ3 (18 B/row) + full SA
+        (<=2 GB, fm_device budget) + workspace."""
+        n = idx.seq_len
+        occ1 = 2 * n
         occ3 = (n // 16 + 2) * 288
-        sa = min(4 * (n + 1), 2 << 30)       # fm_device sa_budget cap
-        planes = 48 * L if getattr(cfg, "vcf_output", True) else 0
-        workspace = 1_500_000_000            # stream buffers + HLO temps
-        return occ1 + occ3 + sa + planes + workspace <= self._hbm_bytes()
+        sa = min(4 * (n + 1), 2 << 30)
+        return occ1 + occ3 + sa + self._WORKSPACE <= self._hbm_bytes()
+
+    def _device_evidence_fits(self, idx, cfg) -> bool:
+        """Evidence working set on top of mapping: the HBM planes
+        (~40 B/genome-base) plus their finalize materialization
+        (~44 B/base — acgt/F cumsums, coverage, cov_prefix) must
+        coexist with the tables. A 200 Mb genome OOM'd exactly here
+        (finalize kernel, 1-step path); beyond the budget the evidence
+        planes stay in host RAM (C++ diff arrays — the reference's own
+        16 B/base PFM model, structure.h:152-163) while seeding/chaining
+        stay on device."""
+        n, L = idx.seq_len, idx.genome_size
+        occ1 = 2 * n
+        occ3 = (n // 16 + 2) * 288 if self._fm3_ok else 0
+        sa = min(4 * (n + 1), 2 << 30)
+        planes = 88 * L
+        return (occ1 + occ3 + sa + planes + self._WORKSPACE
+                <= self._hbm_bytes())
 
     @property
     def fm3(self):
@@ -119,7 +146,9 @@ class DeviceBackend:
                 # identical semantics at any depth; smaller table keeps
                 # CPU test runs cheap
                 k = min(k, 8)
-            self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k)
+            tw = self.chain_ctx.text_words if self.chain_enabled else None
+            self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k,
+                                            text_words=tw)
         return self._fm3
 
     def _kernel_for(self, bucket: int):

@@ -44,7 +44,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
             sys.stderr.write(f"[stage-prof] pre {label}: {now - _pt:.2f}s\n")
             _pt = now
     use_device_evidence = (cfg.vcf_output and be.chain_enabled
-                           and getattr(cfg, "device_evidence", True))
+                           and getattr(cfg, "device_evidence", True)
+                           and getattr(be, "device_evidence_ok", True))
     if cfg.vcf_output:
         # slow-read evidence always accumulates in the host diff arrays
         engine.enable_diff_profile()

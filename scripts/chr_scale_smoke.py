@@ -132,8 +132,11 @@ def main():
             out["hbm_in_use_gb"] = round(ms.get("bytes_in_use", 0) / 2**30, 2)
     except Exception:
         pass
+    name = os.environ.get(
+        "MC_CHR_OUT",
+        "CHR_SCALE.json" if L == 60_000_000 else f"CHR_SCALE_{L // 10**6}MB.json")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CHR_SCALE.json")
+        os.path.abspath(__file__))), name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -38,26 +38,27 @@ def test_device_seeding_matches_golden_sam(toy_fasta):
     assert sam == golden
 
 
-def test_occ3_hbm_budget_predicate():
-    """The 3-step table is selected only when table + SA + evidence
-    planes + workspace fit the chip (a 200 Mb genome with calling
-    measured 20.3 GB on a 15.75 GB v5e — compile-time OOM); oversize
-    genomes must fall back to the 1-step kernel instead of crashing."""
+def test_hbm_budget_predicates():
+    """Selection is budget-driven, not crash-driven: the 3-step table
+    needs occ1+occ3+SA+workspace to fit (a 500 Mb genome doesn't);
+    device evidence additionally needs ~88 B/base of planes+finalize
+    (a 200 Mb calling run measured 20.3 GB on a 15.75 GB v5e and
+    OOM'd before these gates; it now maps with occ3 and accumulates
+    evidence on host)."""
     be = DeviceBackend.__new__(DeviceBackend)
 
     class _I:
         pass
 
-    class _CfgCall:
+    class _Cfg:
         vcf_output = True
 
-    class _CfgMap:
-        vcf_output = False
-
-    for mb, call_ok, map_ok in ((4.6, True, True), (60, True, True),
-                                (200, False, True), (500, False, False)):
+    for mb, occ3_ok, ev_ok in ((4.6, True, True), (60, True, True),
+                               (100, True, True), (110, True, False),
+                               (200, True, False), (500, False, False)):
         i = _I()
         i.genome_size = int(mb * 1e6)
         i.seq_len = 2 * i.genome_size
-        assert be._occ3_fits(i, _CfgCall()) == call_ok, mb
-        assert be._occ3_fits(i, _CfgMap()) == map_ok, mb
+        assert be._occ3_fits(i, _Cfg()) == occ3_ok, mb
+        be._fm3_ok = occ3_ok
+        assert be._device_evidence_fits(i, _Cfg()) == ev_ok, mb

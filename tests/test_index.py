@@ -105,12 +105,15 @@ def test_save_load_roundtrip(tmp_path):
     assert idx2.ref.names == ["chr1"]
 
 
-def test_occ3_persisted_with_prefix(tmp_path):
-    """build_index(prefix) precomputes the occ3 seeding table (mirrors
-    the reference interleaving Occ checkpoints into the stored .bwt,
-    ref: src/BWT_Index/bwtindex.c:53-75); load_index memmaps it and the
-    persisted table is identical to a fresh rebuild."""
+def test_occ3_persisted_with_prefix(tmp_path, monkeypatch):
+    """With MC_PERSIST_OCC3, build_index(prefix) precomputes the occ3
+    seeding table (mirrors the reference interleaving Occ checkpoints
+    into the stored .bwt, ref: src/BWT_Index/bwtindex.c:53-75);
+    load_index memmaps it and the persisted table is identical to a
+    fresh rebuild. (Off by default — the production path derives the
+    table on device, tests/test_fm3_device_build.py.)"""
     from mapcaller_tpu.index.occ3 import build_occ3
+    monkeypatch.setenv("MC_PERSIST_OCC3", "1")
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 4, size=3000).astype(np.uint8)
     idx = build_index(None, packed=make_ref(codes), prefix=str(tmp_path / "t"))

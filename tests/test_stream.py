@@ -111,3 +111,29 @@ def test_stream_pe_compact_matches_golden(toy_idx, tmp_path):
     want = [l for l in read_lines(os.path.join(DATA, "sub_ref.vcf"))
             if not l.startswith("##command_line") and not l.startswith("##reference")]
     assert got == want
+
+
+def test_stream_host_evidence_fallback_matches_golden(toy_idx, tmp_path):
+    """The host-evidence fallback (evidence planes too big for HBM —
+    DeviceBackend._device_evidence_fits false, e.g. >~100 Mb genomes on
+    a 16 GB chip) must stay byte-identical: seeding/chaining on device,
+    evidence in the C++ diff arrays."""
+    cfg = Config(sam_file="x", vcf_file=str(tmp_path / "out.vcf"),
+                 batch_size=256, stream_batch_size=256, max_read_len=128,
+                 device_evidence=False)
+    engine, sam = _run(toy_idx, cfg,
+                       os.path.join(DATA, "sub_r1.fq.gz"),
+                       os.path.join(DATA, "sub_r2.fq.gz"))
+    assert engine.device_evidence is None
+    golden = read_lines(os.path.join(DATA, "sub_ref.sam.gz"))
+    assert sam == golden
+
+    from mapcaller_tpu.runner import run_calling
+    run_calling(engine, cfg, "test")
+    got = [l for l in read_lines(cfg.vcf_file)
+           if not l.startswith("##command_line")
+           and not l.startswith("##reference")]
+    want = [l for l in read_lines(os.path.join(DATA, "sub_ref.vcf"))
+            if not l.startswith("##command_line")
+            and not l.startswith("##reference")]
+    assert got == want
