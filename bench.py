@@ -47,6 +47,35 @@ def ensure_fixtures():
         build_index(fa, f"{BENCH_DIR}/mci")
 
 
+def tunnel_probe():
+    """Measure the host<->device link so bench numbers taken hours or
+    rounds apart can be normalized against 'tunnel weather' (the axon
+    link here swings 1.3-1.5x between sessions; VERDICT r3 weak #2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    dev = jax.local_devices()[0]
+    host_buf = np.zeros(4 << 20, np.uint8)
+    h2d = d2h = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(host_buf, dev))
+        h2d = min(h2d, time.time() - t0)
+        t0 = time.time()
+        np.asarray(jax.device_put(host_buf, dev))
+        d2h = min(d2h, time.time() - t0)
+    lat = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(jax.block_until_ready(jnp.zeros(16, jnp.int32)))
+        lat = min(lat, time.time() - t0)
+    return {
+        "tunnel_h2d_mb_s": round(4 / h2d, 1),
+        "tunnel_d2h_mb_s": round(4 / d2h, 1),
+        "tunnel_latency_ms": round(lat * 1e3, 1),
+    }
+
+
 def main():
     from mapcaller_tpu import enable_compilation_cache, tune_host_allocator
     tune_host_allocator()
@@ -111,6 +140,7 @@ def main():
     # the timed window, which measures the VM's page-fault pathology,
     # not the pipeline.
     map_time = call_time = float("inf")
+    passes = []
     for _ in range(3):
         engine.reset_run()
         t0 = time.time()
@@ -120,9 +150,11 @@ def main():
         t1 = time.time()
         run_calling(engine, cfg, "bench")
         ct = time.time() - t1
+        passes.append(round(mt + ct, 2))
         if mt + ct < map_time + call_time:
             map_time, call_time = mt, ct
 
+    probe = tunnel_probe()
     total = engine.stats.total_reads
     rps = total / (map_time + call_time)
     result = {
@@ -136,6 +168,8 @@ def main():
             "call_s": round(call_time, 2),
             "mapped_pct": round(100.0 * engine.stats.total_mapped / max(total, 1), 2),
             "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
+            "pass_times_s": passes,
+            **probe,
         },
     }
     print(json.dumps(result))
