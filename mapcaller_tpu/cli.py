@@ -48,6 +48,7 @@ def _usage(prog: str) -> None:
          -filter       apply variant filters
          -id STR       assign sample id
          -backend STR  auto|device|host (TPU batch kernels vs NumPy oracle)
+         -devices N    data-parallel read mapping over N local chips (auto = all)
          -v            version
 """)
 
@@ -136,6 +137,10 @@ def parse_args(argv: List[str]) -> Optional[Config]:
         elif p == "-shards" and i + 1 < n:
             # genome-shard the occ3 index over N devices (human scale)
             cfg.index_shards = int(nxt())
+        elif p == "-devices" and i + 1 < n:
+            # data-parallel read mapping over N local chips (auto = all)
+            v = nxt()
+            cfg.devices = 0 if v == "auto" else max(1, int(v))
         elif p in ("-v", "--version"):
             sys.stderr.write(f"MapCaller v{VERSION_STR}\n\n")
             return None

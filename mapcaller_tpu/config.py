@@ -71,6 +71,9 @@ class Config:
     index_shards: int = 0                       # >1: genome-shard the occ3
                                                 # table over an N-device mesh
                                                 # (human-scale index path)
+    devices: int = 1                            # data-parallel local chips
+                                                # (-devices N|auto; 0 = all;
+                                                # parallel/devices.py)
     big_x64: bool = False                       # force the x64 big-genome
                                                 # sharded kernels (auto when
                                                 # fwd+rc text >= 2^31 rows)
@@ -79,7 +82,11 @@ class Config:
                                                 # sparse host-reject correction)
     stream_pipeline_depth: int = 2              # device batches in flight
     device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
-    prefix_skip_k: int = 0                      # seed-start skip table depth (0=off: lockstep max-lane length eats the gain; see ROADMAP)
+    prefix_skip_k: int = 0                      # fused seed-start skip depth
+                                                # (-1 = auto by HBM slack,
+                                                # 0 = off; embedded occ3 rows
+                                                # make the jump gather free —
+                                                # ops/fm3_device.DeviceFM3)
     max_read_len: int = 256                     # padded read length bucket
 
     # fixed algorithm constants (ref: structure.h:20-25, bwt_search.cpp:3-6)

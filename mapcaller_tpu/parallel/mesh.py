@@ -262,6 +262,157 @@ def build_multichip_evidence(chain_ctx: ChainCtx, per_device_batch: int,
     return fn
 
 
+def run_mesh_pe_pipeline(idx, cfg, mat: np.ndarray, rlens: np.ndarray,
+                         n_total: int, n_devices: int, max_len: int = 80,
+                         mesh: Mesh | None = None):
+    """Mesh-orchestrated paired-end mapping + calling with the
+    PRODUCTION C++ host path per shard (the admit-bitmask round trip):
+
+      phase A  classify every read on the mesh (seed -> chain ->
+               classify, replicated index, reads sharded over 'dp'),
+      host     each shard's C++ pipeline (ops mode) runs pairing /
+               rescue / slow alignment / SAM semantics and decides
+               admission (unique-mapped + PCR-dup gate); admit bitmasks
+               come back per shard,
+      phase B  fast-read evidence partials build on the mesh from the
+               bitmasks and psum over ICI,
+      merge    device planes + per-shard host diff arrays + sparse
+               indel maps reduce (cap-after-sum), then the caller runs
+               once over the merged evidence.
+
+    Reads must be laid out shard-major in `mat` (pairs co-located on a
+    shard — mirrors ReadMapping.cpp:627-643 thread-local merge). Note
+    the per-shard dup gates: unlike `-devices N`
+    (parallel/devices.py, globally-ordered gate), up to
+    n_devices * max_duplicate same-start reads can be admitted on
+    duplicate-heavy data (parallel/distributed.py documents the same
+    contract). Returns (variants, merged_engine, shard_engines).
+
+    This is the single-host form of the multi-host deployment
+    (parallel/multihost.py): one process standing in for n hosts."""
+    import jax
+    from jax.sharding import NamedSharding
+    from ..calling.caller import cal_block_read_depth, identify_variants
+    from ..dna import decode
+    from ..ops.fm3_device import DeviceFM3
+    from ..pipeline.engine import MappingEngine
+    from ..pipeline.profile import MAX_ALLELE_COUNT
+
+    L = idx.genome_size
+    fm3 = DeviceFM3.from_host(idx)
+    ctx = ChainCtx.from_host(idx)
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    BG = mat.shape[0]
+    assert BG % n_devices == 0
+    B = BG // n_devices
+
+    packed = np.zeros((BG, max_len // 4), dtype=np.uint8)
+    for j in range(4):
+        packed |= (mat[:, j::4][:, :max_len // 4] & 3) << (2 * j)
+    stepA = build_multichip_pipeline(fm3, ctx, max_len, B, n_devices, mesh)
+    packed_s = jax.device_put(jnp.asarray(packed),
+                              NamedSharding(mesh, P("dp", None)))
+    rlens_s = jax.device_put(jnp.asarray(rlens),
+                             NamedSharding(mesh, P("dp")))
+    (cls, pd0, mm, rplast, cscore, mmp, hit_read, hit_rpos, hit_len,
+     hit_loc, slow_keep, _ex, _fd, _ac, _cov) = stepA(packed_s, rlens_s)
+    cls = np.asarray(cls)
+    pd0_h = np.asarray(pd0)
+    mm_h = np.asarray(mm)
+    rplast = np.asarray(rplast)
+    cscore = np.asarray(cscore)
+    hit_read = np.asarray(hit_read)
+    hit_rpos = np.asarray(hit_rpos)
+    hit_len = np.asarray(hit_len)
+    hit_loc = np.asarray(hit_loc)
+    slow_keep = np.asarray(slow_keep)
+    H = hit_read.shape[0] // n_devices
+
+    # per-shard host pipeline (production C++ in ops mode)
+    shard_bits = np.zeros((n_devices, (B + 31) // 32), dtype=np.int32)
+    shard_engines = []
+    for d in range(n_devices):
+        eng = MappingEngine(idx, cfg, backend=None, use_native=True)
+        eng.enable_diff_profile()
+        eng.native.set_ops_mode(True)
+        lo = d * B
+        n_here = min(B, max(0, n_total - lo))
+        fq = []
+        for i in range(lo, lo + n_here):
+            fq.append(f"@r{i}\n{decode(mat[i, :rlens[i]])}\n+\n"
+                      f"{'I' * int(rlens[i])}\n")
+        eng.native.set_input("".join(fq).encode(), None, False)
+        nn, _ = eng.native.next_batch(0, B)
+        assert nn == n_here
+        # seeds for slow reads of this shard, grouped by read
+        seg = slice(d * H, (d + 1) * H)
+        keep = slow_keep[seg]
+        gread = hit_read[seg]
+        counts = np.bincount(gread[keep], minlength=B)[:B].astype(np.int32)
+        ordd = np.argsort(gread[keep], kind="stable")
+        rp = hit_rpos[seg][keep][ordd].astype(np.int32)
+        gp = hit_loc[seg][keep][ordd].astype(np.int64)
+        ln = hit_len[seg][keep][ordd].astype(np.int32)
+        counts[n_here:] = 0
+        stats_io = np.zeros(6, dtype=np.int64)
+        stats_io[5] = 1000
+        sl = slice(lo, lo + B)
+        eng.native.process_batch_cls(
+            0, True, True, cls[sl], pd0_h[sl], mm_h[sl], rplast[sl],
+            cscore[sl], counts, rp, gp, ln, stats_io)
+        shard_bits[d, :][:] = 0
+        fb = eng.native.fetch_fast_bits()
+        shard_bits[d, :fb.size] = fb.view(np.int32)
+        shard_engines.append(eng)
+
+    # phase B: mesh evidence from the admit bitmasks
+    stepB = build_multichip_evidence(ctx, B, n_devices, mesh, pair_end=True,
+                                     mm_slots=mmp.shape[1])
+    pd_s = jax.device_put(pd0, NamedSharding(mesh, P("dp")))
+    mmp_s = jax.device_put(mmp, NamedSharding(mesh, P("dp", None)))
+    fb_s = jax.device_put(jnp.asarray(shard_bits),
+                          NamedSharding(mesh, P("dp", None)))
+    exact, fd, acgt_dev = jax.device_get(stepB(pd_s, mmp_s, rlens_s, fb_s))
+
+    # merge device planes + per-shard host diffs (cap-after-sum)
+    ref_codes = idx.ref.ref_sequence_codes()
+    exact_d = exact[:L + 1].astype(np.int64)
+    fd_d = fd[:, :L + 1].astype(np.int64)
+    acgt = acgt_dev[:, :L].astype(np.int64)
+    multi_d = np.zeros(L + 1, dtype=np.int64)
+    for eng in shard_engines:
+        p = eng.profile
+        exact_d += p.exact_diff
+        multi_d += p.multi_diff
+        for k, nm in enumerate(("F1_diff", "R2_diff", "F2_diff", "R1_diff")):
+            fd_d[k] += getattr(p, nm)
+        acgt += p.acgt
+    exact_cov = np.cumsum(exact_d[:L])
+    for c in range(4):
+        acgt[c] += np.where(ref_codes[:L] == c, exact_cov, 0)
+    np.minimum(acgt, MAX_ALLELE_COUNT, out=acgt)
+    F = np.cumsum(fd_d[:, :L], axis=1)
+
+    merged = MappingEngine(idx, cfg, backend=None, use_native=False)
+    merged.profile.acgt = acgt.astype(np.int32)
+    merged.profile.multi_hit[:] = np.minimum(
+        np.cumsum(multi_d[:L]), MAX_ALLELE_COUNT).astype(np.int32)
+    for nm, k in (("F1", 0), ("R2", 1), ("F2", 2), ("R1", 3)):
+        getattr(merged.profile, nm)[:] = F[k].astype(np.int32)
+    for eng in shard_engines:
+        for src, dst in ((eng.profile.insert_map, merged.profile.insert_map),
+                         (eng.profile.delete_map, merged.profile.delete_map)):
+            for posk, inner in src.items():
+                dd = dst.setdefault(posk, {})
+                for seq, cnt in inner.items():
+                    dd[seq] = dd.get(seq, 0) + cnt
+    bd = cal_block_read_depth(merged.profile, L)
+    variants = identify_variants(cfg, merged.genome, merged.profile,
+                                 ref_codes, bd)
+    return variants, merged, shard_engines
+
+
 # kept for backward compatibility with the coverage-only smoke test
 def build_multichip_map_step(fm: DeviceFMIndex, max_len: int,
                              per_device_batch: int, n_devices: int,

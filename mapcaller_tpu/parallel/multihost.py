@@ -1,15 +1,17 @@
 """Multi-host execution harness: jax.distributed + per-host input
 shards + ONE cross-host allreduce of the evidence planes.
 
-Production deployment shape (north star): each host maps its shard of
-the read stream on its own chips (the in-process pipeline of
-pipeline/stream.py), evidence accumulates in diff arrays, and a single
-psum over the global mesh (ICI in-slice, DCN across hosts) reduces the
-planes before host 0 runs the caller. This module is that harness; the
-multi-process CPU backend (one process per "host", one virtual device
-each) rehearses the exact collective code path without TPU pod
-hardware — the 2-process test asserts the merged VCF is byte-identical
-to a single-process run.
+Each host maps its shard of the read stream through the PRODUCTION
+pipeline — native C++ parsing/pairing/slow path + device seed/chain
+kernels + HBM evidence planes (pipeline/stream.py, exactly what the
+single-host CLI runs) — evidence stays RAW (unfolded diff endpoints),
+and a single psum over the global mesh (ICI in-slice, DCN across
+hosts) reduces the planes before host 0 folds once (cap-after-sum)
+and runs the caller. The multi-process CPU backend (one process per
+"host", one virtual device each) rehearses the exact collective code
+path without TPU pod hardware — the 2-process tests assert the merged
+VCF is byte-identical to a single-process run for both single-end and
+paired-end input.
 
 Caveats mirrored from parallel/distributed.py: the PCR-duplicate gate
 is per-host (shard duplicates together to preserve it); paired-end
@@ -101,10 +103,48 @@ def _decode_aux(arr: np.ndarray, used: int, profile, inv_sites,
             i += 4
 
 
+def _shard_fastq(src: str, dst: str, process_id: int, num_processes: int,
+                 mate_sel: int = 0, interleaved: bool = False) -> int:
+    """Write this host's read shard: record i goes to host
+    (i // (2 if interleaved else 1)) % num_processes, so mates co-locate
+    on one host (the pairing/rescue state is per-host, mirroring the
+    reference's per-thread chunks, ReadMapping.cpp:735-736). Returns the
+    number of records written."""
+    import gzip
+    op = gzip.open if src.endswith(".gz") else open
+    fastq = None
+    n_written = 0
+    with op(src, "rt") as f, open(dst, "w") as out:
+        rec = []
+        idx_rec = 0
+        for line in f:
+            if fastq is None:
+                fastq = line.startswith("@")
+            rec.append(line)
+            per = 4 if fastq else 2
+            if len(rec) == per:
+                pair_ix = idx_rec // 2 if interleaved else idx_rec
+                if pair_ix % num_processes == process_id:
+                    out.writelines(rec)
+                    n_written += 1
+                rec = []
+                idx_rec += 1
+    return n_written
+
+
 def run_host(process_id: int, num_processes: int, coordinator: str,
-             fasta: str, reads: str, out_vcf: str, cmd_line: str) -> None:
-    """One 'host' process: map the local read shard, then reduce
-    evidence with a single global psum and (on host 0) call variants."""
+             fasta: str, reads: str, out_vcf: str, cmd_line: str,
+             reads2: str | None = None) -> None:
+    """One host process running the PRODUCTION pipeline on its read
+    shard — native C++ parsing/pairing/slow path + device seed/chain
+    kernels + HBM evidence planes (pipeline/stream.py, the same path the
+    single-host CLI runs) — then ONE global psum of the RAW diff planes
+    (saturation applied once after the reduction, cap-after-sum) and,
+    on host 0, a single finalize + caller pass. Reference merge analog:
+    ReadMapping.cpp:627-643 under the real engine."""
+    import tempfile
+    import time as _time
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -118,31 +158,47 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     from ..cli import VERSION_STR
     from ..config import Config
     from ..index.fmindex import build_index
-    from ..io.fastq import iter_chunks
     from ..io.vcf import write_meta, write_variants
+    from ..pipeline.device_backend import DeviceBackend
     from ..pipeline.engine import MappingEngine
-    from ..pipeline.read import ReadState
+    from ..pipeline.stream import run_stream_mapping
 
-    cfg = Config(vcf_file=out_vcf, log_file=out_vcf + ".log")
+    cfg = Config(vcf_file=out_vcf, log_file=out_vcf + ".log",
+                 batch_size=256, stream_batch_size=512, max_read_len=128)
     idx = build_index(fasta)
-    engine = MappingEngine(idx, cfg, backend=None, use_native=False)
-    engine.enable_diff_profile = lambda: None  # pure-python plane mode
+    engine = MappingEngine(idx, cfg, backend=DeviceBackend(idx, cfg))
+    assert engine.native is not None, "production path requires the C++ runtime"
 
-    # per-host input shard: round-robin chunks by process id
-    for ci, chunk in enumerate(iter_chunks(reads, None)):
-        if ci % num_processes != process_id:
-            continue
-        engine.process_chunk_single(
-            [ReadState(r.header, r.seq, r.qual) for r in chunk])
+    # per-host input shard, mates co-located
+    tmpd = tempfile.mkdtemp(prefix=f"mh{process_id}_")
+    f1 = os.path.join(tmpd, "r1.fq")
+    _shard_fastq(reads, f1, process_id, num_processes,
+                 interleaved=cfg.pair_interleaved)
+    cfg.read_files1 = [f1]
+    if reads2 is not None:
+        f2 = os.path.join(tmpd, "r2.fq")
+        _shard_fastq(reads2, f2, process_id, num_processes)
+        cfg.read_files2 = [f2]
+    run_stream_mapping(engine, cfg, _time.time())
 
     p = engine.profile
     L = idx.genome_size
+    if engine.device_evidence is not None:
+        # pull the RAW (unfolded, uncapped) device planes into the host
+        # diff arrays so saturation happens exactly once, globally
+        engine.device_evidence.download_raw_into(p)
+        engine.device_evidence = None
+    if p.F1_diff is None:
+        p.alloc_diffs()
 
-    # ---- ONE allreduce of the evidence planes over the global mesh ----
+    # ---- ONE allreduce of the raw evidence planes over the mesh -------
+    st = engine.stats
     planes = np.concatenate([
-        p.acgt.reshape(-1), p.multi_hit, p.read_count,
-        p.F1, p.R2, p.F2, p.R1]).astype(np.int32)
-    stats = np.asarray([engine.stats.total_reads, engine.stats.total_mapped],
+        p.acgt.reshape(-1), p.read_count,
+        p.exact_diff, p.F1_diff, p.R2_diff, p.F2_diff, p.R1_diff,
+        p.multi_diff]).astype(np.int32)
+    stats = np.asarray([st.total_reads, st.total_mapped, st.total_paired,
+                        st.total_paired_distance, st.read_length_sum],
                        dtype=np.int32)
     local = np.concatenate([planes, stats])
 
@@ -205,18 +261,27 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
         jax.distributed.shutdown()
         return
 
-    # ---- host 0: merge + finalize + call --------------------------------
-    sizes = [4 * L, L, L, L, L, L, L]
+    # ---- host 0: merge raw diffs + ONE finalize + call ------------------
+    L1 = L + 1
+    sizes = [4 * L, L, L1, L1, L1, L1, L1, L1]
     off = 0
     parts = []
     for s in sizes:
         parts.append(reduced[off:off + s])
         off += s
-    p.acgt = np.minimum(parts[0].reshape(4, L), 4095).astype(np.int32)
-    p.multi_hit = np.minimum(parts[1], 4095).astype(np.int32)
-    p.read_count = np.minimum(parts[2], cfg.max_duplicate).astype(np.int32)
-    p.F1, p.R2, p.F2, p.R1 = (x.astype(np.int32) for x in parts[3:7])
-    total_reads, total_mapped = int(reduced[off]), int(reduced[off + 1])
+    p.acgt[:] = parts[0].reshape(4, L).astype(np.int32)     # raw point adds
+    p.read_count[:] = np.minimum(parts[1], cfg.max_duplicate)
+    p.exact_diff[:] = parts[2].astype(np.int32)
+    p.F1_diff[:] = parts[3].astype(np.int32)
+    p.R2_diff[:] = parts[4].astype(np.int32)
+    p.F2_diff[:] = parts[5].astype(np.int32)
+    p.R1_diff[:] = parts[6].astype(np.int32)
+    p.multi_diff[:] = parts[7].astype(np.int32)
+    st.total_reads = int(reduced[off])
+    st.total_mapped = int(reduced[off + 1])
+    st.total_paired = int(reduced[off + 2])
+    st.total_paired_distance = int(reduced[off + 3])
+    st.read_length_sum = int(reduced[off + 4])
     p.break_point.clear()
     p.insert_map.clear()
     p.delete_map.clear()
@@ -226,13 +291,26 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
         row = gathered[h]
         _decode_aux(row[1:], int(row[0]), p, engine.inv_sites,
                     engine.tnl_sites)
-    engine.stats.total_reads = total_reads
-    engine.stats.total_mapped = total_mapped
-    engine.finalize()
+    engine.finalize()   # folds the merged diffs ONCE (cap-after-sum)
 
     block_depth = cal_block_read_depth(p, L)
     variants = identify_variants(cfg, engine.genome, p,
                                  idx.ref.ref_sequence_codes(), block_depth)
+    if engine.inv_sites or engine.tnl_sites:
+        from ..calling.caller import (identify_break_point_candidates,
+                                      identify_sv)
+        bp_cans = identify_break_point_candidates(
+            p, engine.genome.two_genome_size, st.avg_read_length)
+        if bp_cans and engine.inv_sites:
+            variants = sorted(variants + identify_sv(
+                p, engine.genome, bp_cans, engine.inv_sites, 3, block_depth,
+                st.fragment_size, st.avg_read_length),
+                key=lambda v: (v.gPos, v.VarType))
+        if bp_cans and engine.tnl_sites:
+            variants = sorted(variants + identify_sv(
+                p, engine.genome, bp_cans, engine.tnl_sites, 4, block_depth,
+                st.fragment_size, st.avg_read_length),
+                key=lambda v: (v.gPos, v.VarType))
     with open(out_vcf, "w") as f:
         write_meta(f, cfg, engine.genome, VERSION_STR, cmd_line)
         write_variants(f, cfg, engine.genome, p, engine.ref_chars, variants)
@@ -246,10 +324,11 @@ def main() -> None:
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--fasta", required=True)
     ap.add_argument("--reads", required=True)
+    ap.add_argument("--reads2", default=None)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     run_host(args.pid, args.num, args.coordinator, args.fasta, args.reads,
-             args.out, "multihost-test")
+             args.out, "multihost-test", reads2=args.reads2)
 
 
 if __name__ == "__main__":

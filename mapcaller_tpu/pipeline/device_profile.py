@@ -210,6 +210,9 @@ def make_device_evidence(backend, cfg, host_profile):
     if getattr(backend, "big_x64", False) and backend.index_shards > 1:
         from .big_profile import BigDeviceEvidence
         return BigDeviceEvidence(backend, cfg, host_profile)
+    if getattr(backend, "is_multi_device", False):
+        from ..parallel.devices import MultiDeviceEvidence
+        return MultiDeviceEvidence(backend, cfg, host_profile)
     return DeviceEvidence(backend, cfg, host_profile)
 
 

@@ -80,8 +80,10 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         sb = -(-max(cfg.stream_batch_size, 256) // 32) * 32
         use_chain = getattr(be, "chain_enabled", True)
         # keep `depth` device batches in flight (16 parser slots bound
-        # the batches whose host-side read data must stay alive)
-        depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2)))
+        # the batches whose host-side read data must stay alive); with
+        # N data-parallel chips, at least N+1 so every chip stays busy
+        depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2),
+                            getattr(be, "n_devices", 1) + 1))
         from collections import deque
         slot = 0
         pending = deque()

@@ -87,10 +87,22 @@ def make_engine(idx: FMIndex, cfg: Config):
     backend = None
     if cfg.backend in ("auto", "device"):
         try:
-            from .pipeline.device_backend import DeviceBackend
-            backend = DeviceBackend(idx, cfg)
+            ndev = cfg.devices
+            if ndev == 0:
+                import jax
+                ndev = len(jax.devices())
+            if ndev > 1 and cfg.index_shards > 1:
+                raise ValueError(
+                    "-devices N (read data parallelism) and -shards N "
+                    "(index sharding) are separate scale axes; pick one")
+            if ndev > 1:
+                from .parallel.devices import MultiDeviceBackend
+                backend = MultiDeviceBackend(idx, cfg, ndev)
+            else:
+                from .pipeline.device_backend import DeviceBackend
+                backend = DeviceBackend(idx, cfg)
         except Exception as e:  # pragma: no cover
-            if cfg.backend == "device":
+            if cfg.backend == "device" or cfg.devices != 1:
                 raise
             sys.stderr.write(f"[warn] device backend unavailable ({e}); using host path\n")
     return MappingEngine(idx, cfg, backend=backend)
