@@ -53,7 +53,15 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
     x0/freq tables. int32 by default; the big-genome path (>2^31-row
     texts, ref index types are uint64 — src/BWT_Index/bwt.h:44) passes
     int64 under jax x64 and a gather_fn that recombines shard-relative
-    rows to absolute int64 counts."""
+    rows to absolute int64 counts.
+
+    With fm3.pfx_base > 0 and a key_fn, every extension START jumps
+    pfx_k bases in its single iteration: the start lane's (otherwise
+    dummy) first occ3 gather fetches the embedded prefix row instead —
+    ZERO extra gathers. Empty entries (MEM ends inside the first K <
+    MinSeedLength bases) fall back to the 1-base init; the replay walk
+    then finds the exact end, so the seed set stays bit-identical
+    (ref: src/bwt_search.cpp:121-164)."""
     from .fm3_device import gather3, step1_update, step3_update
     if gather_fn is None:
         gather_fn = gather3
@@ -61,6 +69,9 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
         idx_dtype = jnp.int32
     L2 = fm3.L2
     primary = fm3.primary
+    FUSE = bool(getattr(fm3, "pfx_base", 0)) and key_fn is not None
+    K = fm3.pfx_k if FUSE else 0
+    PFXI = (int(fm3.pfx_base) << 4) if FUSE else 0
 
     def step(state):
         (pos, in_ext, replay, start, ext_pos, x0, x1, x2,
@@ -91,8 +102,19 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
 
         k = jnp.where(extending, x1, 0)
         l = jnp.where(extending, x1 + x2, 0)
+        if FUSE:
+            # start lanes hijack their dummy gather: fetch the embedded
+            # prefix row for the K-mer at pos (see module docstring)
+            key = key_fn(bidx, jnp.minimum(pos, max_len - 1))
+            k = jnp.where(start_new, PFXI + (key << 4), k)
         gk = gather_fn(fm3, k)
         gl = gather_fn(fm3, l)
+        if FUSE:
+            jump = start_new & (gk[0][:, 2] > 0)
+            x0_init = jnp.where(jump, gk[0][:, 0], x0_init)
+            x1_init = jnp.where(jump, gk[0][:, 1], x1_init)
+            x2_init = jnp.where(jump, gk[0][:, 2], x2_init)
+            ext_init = jnp.where(jump, pos + K, ext_init)
         n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2, gk, gl)
         n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
 
@@ -142,25 +164,7 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
     zi = z.astype(idx_dtype)       # keeps the carry varying over the mesh
     zs = jnp.zeros((B, max_seeds), dtype=jnp.int32) + z[:, None]
     zsi = jnp.zeros((B, max_seeds), dtype=idx_dtype) + zi[:, None]
-    K = fm3.pfx_k
-    if K and key_fn is not None:
-        # prefix-skip for the FIRST extension of every read (pos 0): one
-        # 16-byte gather per lane replaces its first K steps. Non-empty
-        # entries jump straight to state-after-K; empty entries (the MEM
-        # ends inside the first K < MinSeedLength bases) just start
-        # normally — the 3-step/replay machinery finds the exact end.
-        bidx0 = jnp.arange(B, dtype=jnp.int32)
-        trow = fm3.pfx[key_fn(bidx0, z)]
-        jump0 = (rlens >= MIN_SEED_LEN + 1) & (trow[:, 2] > 0)
-        in_ext0 = jump0
-        ext0 = jnp.where(jump0, K, 0)
-        x0_0 = jnp.where(jump0, trow[:, 0], 0).astype(idx_dtype)
-        x1_0 = jnp.where(jump0, trow[:, 1], 0).astype(idx_dtype)
-        x2_0 = jnp.where(jump0, trow[:, 2], 0).astype(idx_dtype)
-        state = (z, in_ext0, zb, z, ext0, x0_0, x1_0, x2_0,
-                 z, zs, zs, zsi, zsi, zb, z)
-    else:
-        state = (z, zb, zb, z, z, zi, zi, zi, z, zs, zs, zsi, zsi, zb, z)
+    state = (z, zb, zb, z, z, zi, zi, zi, z, zs, zs, zsi, zsi, zb, z)
     # worst case ~1.5 iterations/base (len-1 MEMs: init + 3-fail +
     # 1-replay-fail per 2-base advance) + 2/seed finalize
     n_iters = (3 * max_len) // 2 + 2 * max_seeds + 8
@@ -223,6 +227,9 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
         idx_dtype = jnp.int32
     L2 = fm3.L2
     primary = fm3.primary
+    FUSE = bool(getattr(fm3, "pfx_base", 0))
+    K = fm3.pfx_k if FUSE else 0
+    PFXI = (int(fm3.pfx_base) << 4) if FUSE else 0
     S = max_seeds
     nwords = words_all.shape[1]
     # dump row B_total: rlen 0 -> instantly done, never emits
@@ -267,8 +274,32 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
 
         k = jnp.where(extending, x1, 0)
         l = jnp.where(extending, x1 + x2, 0)
+        if FUSE:
+            # fused prefix-skip (see _seed_scan3): start lanes' dummy
+            # gather fetches the embedded prefix row for the K-mer at pos
+            p = jnp.minimum(pos, max_len - 1)
+            wi = p >> 4
+            w0 = jnp.where(widx == wi[:, None], words_l, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            w1 = jnp.where(widx == (wi + 1)[:, None], words_l, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            sh = ((p & 15) * 2).astype(jnp.uint32)
+            comb = (w0 >> sh) | jnp.where(sh > 0,
+                                          w1 << (jnp.uint32(32) - sh),
+                                          jnp.uint32(0))
+            key = jnp.zeros_like(p)
+            for j in range(K):
+                key = key | (((comb >> jnp.uint32(2 * j)) & 3
+                              ).astype(jnp.int32) << (2 * (K - 1 - j)))
+            k = jnp.where(start_new, PFXI + (key << 4), k)
         gk = gather_fn(fm3, k)
         gl = gather_fn(fm3, l)
+        if FUSE:
+            jump = start_new & (gk[0][:, 2] > 0)
+            x0_init = jnp.where(jump, gk[0][:, 0], x0_init)
+            x1_init = jnp.where(jump, gk[0][:, 1], x1_init)
+            x2_init = jnp.where(jump, gk[0][:, 2], x2_init)
+            ext_init = jnp.where(jump, pos + K, ext_init)
         n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2,
                                            gk, gl)
         n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
@@ -471,7 +502,7 @@ def build_seed_kernel_packed(fm_template, max_len: int,
 
         if use_occ3 and compact_lanes and compact_lanes < B:
             # lane-compacted scan (cost ~ mean trajectory, not max);
-            # prefix-skip is lockstep-only, so it is bypassed here
+            # the fused prefix-skip engages automatically (fm.pfx_base)
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = \
                 _seed_scan3_compact(fm, words, rlens, B, compact_lanes,
                                     max_len, max_seeds)
@@ -641,7 +672,7 @@ def build_seed_chain_kernel(fm_template, chain_ctx, max_len: int, batch: int,
 
         if use_occ3 and compact_lanes and compact_lanes < B:
             # lane-compacted scan (cost ~ mean trajectory, not max);
-            # prefix-skip is lockstep-only, so it is bypassed here
+            # the fused prefix-skip engages automatically (fm.pfx_base)
             (n_seeds, s_rpos, s_len, s_x0, s_freq, overflow) = \
                 _seed_scan3_compact(fm, words_le, rlens, B, compact_lanes,
                                     max_len, max_seeds)

@@ -141,11 +141,27 @@ class DeviceBackend:
         if self._fm3 is None and self._fm3_ok:
             from ..ops.fm3_device import DeviceFM3
             import jax
-            k = int(getattr(self.cfg, "prefix_skip_k", 12))
-            if jax.default_backend() != "tpu":
+            k = int(getattr(self.cfg, "prefix_skip_k", -1))
+            if self.index_shards > 1:
+                # the sharded paths slice occ3_rows per shard — embedded
+                # prefix rows would shard wrongly (their own wrappers
+                # report pfx_k = 0)
+                k = 0
+            elif jax.default_backend() != "tpu":
                 # identical semantics at any depth; smaller table keeps
                 # CPU test runs cheap
-                k = min(k, 8)
+                k = 6 if k < 0 else min(k, 8)
+            elif k < 0:
+                # auto: deepest skip whose embedded rows (288 B x 4^k)
+                # fit the HBM slack left after tables+planes+workspace
+                n, L = self.idx.seq_len, self.idx.genome_size
+                used = (2 * n + (n // 16 + 2) * 288
+                        + min(4 * (n + 1), 2 << 30)
+                        + (88 * L if self.device_evidence_ok else 0)
+                        + self._WORKSPACE)
+                slack = self._hbm_bytes() - used - 500_000_000
+                k = next((kk for kk in (11, 10, 8)
+                          if 288 * (4 ** kk) <= slack), 0)
             tw = self.chain_ctx.text_words if self.chain_enabled else None
             self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k,
                                             text_words=tw)

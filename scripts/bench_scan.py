@@ -103,6 +103,45 @@ def main() -> None:
                                        MAXLEN, max_seeds)
         return f
 
+    def lockstep_fused_builder(B, fm3f):
+        KK = fm3f.pfx_k
+
+        @jax.jit
+        def f(fm3f, packed, rlens):
+            pb = packed.astype(jnp.uint32).reshape(B, nwords, 4)
+            shl = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+            w = (pb << shl).sum(axis=2, dtype=jnp.uint32)
+            widx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+
+            def codes_fn(row, pos):
+                wi = (pos >> 4)[:, None]
+                ww = jnp.where(widx == wi, w, 0).sum(axis=1,
+                                                     dtype=jnp.uint32)
+                return ((ww >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                        ).astype(jnp.int32)
+
+            def key_fn(row, pos):
+                wi = pos >> 4
+                w0 = jnp.where(widx == wi[:, None], w, 0).sum(
+                    axis=1, dtype=jnp.uint32)
+                w1 = jnp.where(widx == (wi + 1)[:, None], w, 0).sum(
+                    axis=1, dtype=jnp.uint32)
+                shp = ((pos & 15) * 2).astype(jnp.uint32)
+                comb = (w0 >> shp) | jnp.where(
+                    shp > 0, w1 << (jnp.uint32(32) - shp), jnp.uint32(0))
+                key = jnp.zeros_like(pos)
+                for j in range(KK):
+                    key = key | (((comb >> jnp.uint32(2 * j)) & 3
+                                  ).astype(jnp.int32) << (2 * (KK - 1 - j)))
+                return key
+
+            return _seed_scan3(fm3f, codes_fn, rlens, B, MAXLEN, max_seeds,
+                               key_fn=key_fn)
+        return f
+
+    PFX = int(os.environ.get("MC_SCAN_PFX", "10"))
+    fm3_fused = DeviceFM3.from_host(idx, fm3.fm, pfx_k=PFX) if PFX else None
+
     for B in (32768,):
         f = lockstep_builder(B)
         t = time_fn(f, (fm3, jnp.asarray(packed[:B]), jnp.asarray(rlens[:B])))
@@ -110,6 +149,22 @@ def main() -> None:
                         "t_ms": round(t * 1e3, 2),
                         "reads_per_s": round(B / t)})
         print(json.dumps(results[-1]), flush=True)
+        if fm3_fused is not None:
+            f = lockstep_fused_builder(B, fm3_fused)
+            t = time_fn(f, (fm3_fused, jnp.asarray(packed[:B]),
+                            jnp.asarray(rlens[:B])))
+            results.append({"kind": f"lockstep+pfx{PFX}", "reads": B,
+                            "lanes": B, "t_ms": round(t * 1e3, 2),
+                            "reads_per_s": round(B / t)})
+            print(json.dumps(results[-1]), flush=True)
+            for BT, lanes in ((65536, 32768), (131072, 32768)):
+                f = compact_builder(BT, lanes)
+                t = time_fn(f, (fm3_fused, jnp.asarray(words[:BT]),
+                                jnp.asarray(rlens[:BT])))
+                results.append({"kind": f"compact+pfx{PFX}", "reads": BT,
+                                "lanes": lanes, "t_ms": round(t * 1e3, 2),
+                                "reads_per_s": round(BT / t)})
+                print(json.dumps(results[-1]), flush=True)
 
     shapes = ((65536, 32768), (32768, 16384), (65536, 16384),
               (32768, 32768))

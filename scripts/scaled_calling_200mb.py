@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""200 Mb sharded end-to-end validation (VERDICT r3 missing #4 /
+next #4): a 200 Mb genome — beyond the single-chip occ3+planes HBM
+budget that OOM'd in round 3 — runs mapping AND calling through the
+production `-shards N` path (genome-sharded x64 occ3 index +
+genome-sharded evidence planes, parallel/big_index.py +
+pipeline/big_profile.py, per-device memory O(L/n)) on the N-virtual-
+device CPU mesh, against planted SNV/indel truth, and the VCF record
+set must match the reference binary byte for byte.
+
+Ref analog being validated: the reference simply allocates the whole
+3.1 Gb PFM in RAM and scans it single-threaded
+(src/main.cpp:372, src/VariantCalling.cpp:696-717); here no device
+ever materializes a genome-sized plane.
+
+Env: MC_S200_L (genome bp, default 200e6), MC_S200_SHARDS (8),
+MC_S200_DEPTH (8), MC_S200_WIN (planted+sequenced window bp, 8e6),
+MC_S200_DIR (/tmp/s200). Writes SCALED_CALLING_200MB.json.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DIR = os.environ.get("MC_S200_DIR", "/tmp/s200")
+L = int(float(os.environ.get("MC_S200_L", 200_000_000)))
+SHARDS = int(os.environ.get("MC_S200_SHARDS", 8))
+DEPTH = int(os.environ.get("MC_S200_DEPTH", 8))
+WIN = int(float(os.environ.get("MC_S200_WIN", 8_000_000)))
+W0 = L // 2
+W1 = W0 + WIN
+RLEN, FRAG_LO, FRAG_HI = 100, 350, 550
+REF_BIN = "/tmp/refbuild/src/MapCaller"
+BASES = "ACGT"
+
+
+def ensure_genome():
+    fa = f"{DIR}/g.fa"
+    if os.path.exists(fa):
+        return fa
+    rng = np.random.default_rng(4242)
+    with open(fa + ".tmp", "w") as f:
+        f.write(">chr200\n")
+        for lo in range(0, L, 10_000_000):
+            n = min(10_000_000, L - lo)
+            block = rng.integers(0, 4, size=n).astype(np.uint8)
+            txt = np.frombuffer(b"ACGT", np.uint8)[block].tobytes().decode()
+            for i in range(0, n, 70):
+                f.write(txt[i:i + 70] + "\n")
+    os.rename(fa + ".tmp", fa)
+    return fa
+
+
+def plant_and_read(codes):
+    """Plant hom/het SNVs + 1-8 bp indels in [W0, W1); write paired
+    reads at DEPTH x over the window from the two haplotypes."""
+    rng = np.random.default_rng(77)
+    truth = []
+    n_snv, n_ind = 4_000, 1_000
+    pos_all = rng.choice(WIN - 200, size=n_snv + n_ind, replace=False)
+    pos_all.sort()
+    keep = np.concatenate([[True], np.diff(pos_all) >= 60])
+    pos_all = pos_all[keep]
+    kinds = rng.permutation(
+        ["snv"] * (pos_all.size - n_ind) + ["ind"] * n_ind)
+    edits = []
+    for p, kind in zip(pos_all.tolist(), kinds.tolist()):
+        het = bool(rng.integers(0, 2))
+        if kind == "snv":
+            alt = (int(codes[W0 + p]) + int(rng.integers(1, 4))) % 4
+            edits.append((p, "snv", het, alt))
+            truth.append({"pos": W0 + p, "kind": "snv", "het": het})
+        else:
+            ln = int(rng.integers(1, 9))
+            if rng.integers(0, 2):
+                ins = rng.integers(0, 4, size=ln).astype(np.uint8)
+                edits.append((p, "ins", het, ins.tolist()))
+                truth.append({"pos": W0 + p, "kind": "ins", "het": het})
+            else:
+                edits.append((p, "del", het, ln))
+                truth.append({"pos": W0 + p, "kind": "del", "het": het})
+
+    win = codes[W0:W1]
+
+    def apply(sel):
+        parts, cur = [], 0
+        for p, kind, het, pay in sel:
+            parts.append(win[cur:p + 1])
+            if kind == "snv":
+                parts[-1] = parts[-1].copy()
+                parts[-1][-1] = pay
+                cur = p + 1
+            elif kind == "ins":
+                parts.append(np.asarray(pay, np.uint8))
+                cur = p + 1
+            else:
+                cur = p + 1 + pay
+        parts.append(win[cur:])
+        return np.concatenate(parts)
+
+    hap0 = apply([e for e in edits])                       # all edits
+    hap1 = apply([e for e in edits if not e[2]])           # hom only
+    comp0, comp1 = 3 - hap0, 3 - hap1
+    n_pairs = DEPTH * WIN // (2 * RLEN) // 2
+    b = np.frombuffer(b"ACGT", np.uint8)
+    f1 = open(f"{DIR}/r1.fq", "w")
+    f2 = open(f"{DIR}/r2.fq", "w")
+    for i in range(n_pairs):
+        hap, cmp_ = (hap0, comp0) if (i & 1) else (hap1, comp1)
+        frag = int(rng.integers(FRAG_LO, FRAG_HI))
+        p = int(rng.integers(0, hap.size - frag))
+        r1 = hap[p:p + RLEN]
+        r2 = cmp_[p + frag - RLEN:p + frag][::-1]
+        q = "I" * RLEN
+        f1.write(f"@s{i}/1\n{b[r1].tobytes().decode()}\n+\n{q}\n")
+        f2.write(f"@s{i}/2\n{b[r2].tobytes().decode()}\n+\n{q}\n")
+    f1.close()
+    f2.close()
+    return truth, 2 * n_pairs
+
+
+def vcf_records(path):
+    return [l for l in open(path).read().splitlines()
+            if l and not l.startswith("#")]
+
+
+def main():
+    os.makedirs(DIR, exist_ok=True)
+    out = {"genome_bp": L, "shards": SHARDS, "depth": DEPTH,
+           "window": [W0, W1]}
+    fa = ensure_genome()
+
+    # ---- our index (offline build once) ----
+    from mapcaller_tpu.index.fmindex import (build_index, index_exists,
+                                             load_index)
+    idx_p = f"{DIR}/idx"
+    if not index_exists(idx_p):
+        t0 = time.time()
+        build_index(fa, idx_p)
+        out["index_build_s"] = round(time.time() - t0, 1)
+    idx = load_index(idx_p)
+    codes = idx.ref.codes
+
+    fq1, fq2 = f"{DIR}/r1.fq", f"{DIR}/r2.fq"
+    truth_p = f"{DIR}/truth.json"
+    if not os.path.exists(truth_p):
+        truth, n_reads = plant_and_read(codes)
+        json.dump(truth, open(truth_p, "w"))
+        out["n_reads"] = n_reads
+    truth = json.load(open(truth_p))
+    out["n_truth"] = len(truth)
+
+    # ---- reference binary ----
+    ref_vcf = f"{DIR}/ref.vcf"
+    if not os.path.exists(ref_vcf):
+        assert os.path.exists(REF_BIN), "run scripts/build_reference.sh"
+        ref_idx = f"{DIR}/refidx"
+        if not os.path.exists(ref_idx + ".sa"):
+            t0 = time.time()
+            subprocess.run([REF_BIN, "index", fa, ref_idx], check=True,
+                           capture_output=True)
+            out["ref_index_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        subprocess.run([REF_BIN, "-i", ref_idx, "-t", "1", "-f", fq1,
+                        "-f2", fq2, "-vcf", ref_vcf, "-log",
+                        f"{DIR}/ref.log"], check=True, capture_output=True)
+        out["ref_map_call_s"] = round(time.time() - t0, 1)
+
+    # ---- this pipeline: sharded x64 index + genome-sharded planes ----
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    assert len(jax.devices()) >= SHARDS, (
+        f"set XLA_FLAGS=--xla_force_host_platform_device_count={SHARDS}")
+    from mapcaller_tpu.config import Config
+    from mapcaller_tpu.pipeline.stream import run_stream_mapping
+    from mapcaller_tpu.runner import make_engine, run_calling
+    cfg = Config(vcf_file=f"{DIR}/tpu.vcf", log_file=f"{DIR}/tpu.log",
+                 batch_size=4096, stream_batch_size=16384,
+                 max_read_len=128, index_shards=SHARDS, big_x64=True)
+    engine = make_engine(idx, cfg)
+    cfg.read_files1, cfg.read_files2 = [fq1], [fq2]
+    t0 = time.time()
+    run_stream_mapping(engine, cfg, t0)
+    out["tpu_map_s"] = round(time.time() - t0, 1)
+    # per-device table/plane memory (the O(L/n) contract)
+    be = engine.backend
+    n = idx.seq_len
+    out["per_device_bytes"] = {
+        "occ3_local": int(((-(-((n + 16) // 16 + 2) // SHARDS)) * 72 * 4)),
+        "sa_local": int((-(-(n + 1) // SHARDS)) * 8),
+        "planes_local": int((-(-idx.genome_size // SHARDS)) * 40),
+    }
+    engine.finalize()
+    t0 = time.time()
+    out["variant_counts"] = run_calling(engine, cfg, "s200-validation")
+    out["tpu_call_s"] = round(time.time() - t0, 1)
+
+    rv, tv = vcf_records(ref_vcf), vcf_records(f"{DIR}/tpu.vcf")
+    out["n_ref_records"] = len(rv)
+    out["n_tpu_records"] = len(tv)
+    out["vcf_byte_identical"] = rv == tv
+    if not out["vcf_byte_identical"]:
+        only_r = [r for r in rv if r not in set(tv)]
+        only_t = [r for r in tv if r not in set(rv)]
+        out["only_ref"] = only_r[:5]
+        out["only_tpu"] = only_t[:5]
+    # recall sanity against planted truth (position +-1, coarse)
+    called = {int(r.split("\t")[1]) for r in tv}
+    hit = sum(1 for t in truth
+              if {t["pos"], t["pos"] + 1, t["pos"] + 2} & called)
+    out["truth_called"] = hit
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALED_CALLING_200MB.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

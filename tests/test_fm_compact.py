@@ -93,3 +93,65 @@ def test_compact_scan_matches_lockstep(factor):
         assert np.array_equal(np.where(valid, got[k], 0),
                               np.where(valid, ref[k], 0)), names[k - 1]
     assert np.array_equal(got[5].astype(bool), ref[5].astype(bool)), "ovf"
+
+
+@pytest.mark.parametrize("factor", [1, 2])
+def test_fused_prefix_skip_matches_unfused(factor):
+    """pfx_base > 0 (embedded prefix rows, fused skip at EVERY extension
+    start — not just pos 0) must keep the seed set bit-identical, in
+    both the lockstep and the lane-compacted scan."""
+    idx, fm3_plain, rng = _mk(seed=71)
+    fm3_fused = DeviceFM3.from_host(idx, fm3_plain.fm, pfx_k=7)
+    assert fm3_fused.pfx_base > 0
+    B, MAXLEN = 192, 64
+    lanes = B // factor
+    packed, rlens = _reads(idx, rng, B, MAXLEN)
+    words = _words_le(packed, B)
+    max_seeds = MAXLEN // (MIN_SEED_LEN + 1) + 2
+    widx_n = (MAXLEN // 4 + 3) // 4
+
+    def key_fn_for(fm3):
+        def key_fn(row, pos):
+            w = jnp.asarray(words)[row]
+            wi = pos >> 4
+            cols = jnp.arange(widx_n, dtype=jnp.int32)[None, :]
+            w0 = jnp.where(cols == wi[:, None], w, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            w1 = jnp.where(cols == (wi + 1)[:, None], w, 0).sum(
+                axis=1, dtype=jnp.uint32)
+            sh = ((pos & 15) * 2).astype(jnp.uint32)
+            comb = (w0 >> sh) | jnp.where(
+                sh > 0, w1 << (jnp.uint32(32) - sh), jnp.uint32(0))
+            KK = fm3.pfx_k
+            key = jnp.zeros_like(pos)
+            for j in range(KK):
+                key = key | (((comb >> jnp.uint32(2 * j)) & 3
+                              ).astype(jnp.int32) << (2 * (KK - 1 - j)))
+            return key
+        return key_fn
+
+    def codes_fn(row, pos):
+        w = jnp.asarray(words)[row]
+        wi = pos >> 4
+        cols = jnp.arange(widx_n, dtype=jnp.int32)[None, :]
+        ww = jnp.where(cols == wi[:, None], w, 0).sum(
+            axis=1, dtype=jnp.uint32)
+        return ((ww >> ((pos.astype(jnp.uint32) & 15) * 2)) & 3
+                ).astype(jnp.int32)
+
+    rl = jnp.asarray(rlens)
+    ref = [np.asarray(x) for x in _seed_scan3(
+        fm3_plain, codes_fn, rl, B, MAXLEN, max_seeds)]
+    got_lock = [np.asarray(x) for x in _seed_scan3(
+        fm3_fused, codes_fn, rl, B, MAXLEN, max_seeds,
+        key_fn=key_fn_for(fm3_fused))]
+    got_cmp = [np.asarray(x) for x in _seed_scan3_compact(
+        fm3_fused, jnp.asarray(words), rl, B, lanes, MAXLEN, max_seeds)]
+    valid = np.arange(max_seeds)[None, :] < ref[0][:, None]
+    for got, tag in ((got_lock, "lockstep"), (got_cmp, "compact")):
+        assert np.array_equal(got[0], ref[0]), f"n_seeds {tag}"
+        for k in range(1, 5):
+            assert np.array_equal(np.where(valid, got[k], 0),
+                                  np.where(valid, ref[k], 0)), (tag, k)
+        assert np.array_equal(got[5].astype(bool),
+                              ref[5].astype(bool)), f"ovf {tag}"
