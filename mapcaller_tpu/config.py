@@ -82,7 +82,7 @@ class Config:
                                                 # sparse host-reject correction)
     stream_pipeline_depth: int = 2              # device batches in flight
     device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
-    prefix_skip_k: int = 0                      # fused seed-start skip depth
+    prefix_skip_k: int = -1                     # fused seed-start skip depth
                                                 # (-1 = auto by HBM slack,
                                                 # 0 = off; embedded occ3 rows
                                                 # make the jump gather free —

@@ -298,7 +298,10 @@ class NativeEngine:
             # EXTENSION_BENCH.json), so sizing the kernel to the batch's
             # actual max instead of dp_max cuts padded DP cells ~8x
             maxlen = int(max(qlens.max(), tlens.max()))
-            MN = next((t for t in (48, 96) if t >= maxlen), dp_max + 32)
+            # 32 tier covers q99 = 25 of the measured production pair
+            # lengths (EXTENSION_BENCH.json) at (48/32)^2 = 2.25x fewer
+            # padded cells than the former smallest tier
+            MN = next((t for t in (32, 48, 96) if t >= maxlen), dp_max + 32)
             if use_nw:
                 from .ops.nw_device import nw_align_batch
                 words, _scores = nw_align_batch(pairs, M=MN, N=MN,

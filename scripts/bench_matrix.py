@@ -78,6 +78,41 @@ ROW_NAMES = ("index_build_s_4.6Mb", "pe_nw_map_call_reads_per_s",
              "divergent3pct_pallas_ext_reads_per_s",
              "divergent3pct_pallas_ksw2_reads_per_s")
 
+REF_BIN = "/tmp/refbuild/src/MapCaller"
+
+
+def ref_rate(args, n_reads, passes=2):
+    """reads/s of the reference binary (-t 1) on the SAME workload as a
+    matrix row — each mode has its own CPU cost profile (the divergent
+    set makes the reference do the very DP work it makes us do), so
+    rows must compare like for like, not against the PE headline."""
+    import subprocess
+    ref_idx = f"{BENCH_DIR}/refmxidx"
+    if not os.path.exists(ref_idx + ".sa"):
+        subprocess.run([REF_BIN, "index", f"{BENCH_DIR}/ecoli.fa", ref_idx],
+                       check=True, capture_output=True)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        subprocess.run([REF_BIN, "-i", ref_idx, "-t", "1", *args,
+                        "-vcf", f"{BENCH_DIR}/refmx.vcf",
+                        "-log", f"{BENCH_DIR}/refmx.log"],
+                       check=True, capture_output=True)
+        best = min(best, time.time() - t0)
+    return round(n_reads / best, 1)
+
+
+def ref_rows():
+    div = f"{BENCH_DIR}/div.fq"
+    return {
+        "ref_pe_nw_reads_per_s": ref_rate(
+            ["-f", f"{BENCH_DIR}/sub_r1.fq", "-f2", f"{BENCH_DIR}/sub_r2.fq"],
+            200_000),
+        "ref_se_ksw2_reads_per_s": ref_rate(
+            ["-f", f"{BENCH_DIR}/sub_r1.fq", "-alg", "ksw2"], 100_000),
+        "ref_divergent3pct_reads_per_s": ref_rate(["-f", div], 50_000),
+    }
+
 
 def main():
     import numpy as np
@@ -131,6 +166,19 @@ def main():
         rows.update(json.loads(out.stdout.strip().splitlines()[-1]))
 
     rows["baseline_reads_per_sec"] = 74000.0
+    if os.path.exists(REF_BIN):
+        rows.update(ref_rows())
+        rows["vs_ref_same_workload"] = {
+            "pe_nw": round(rows["pe_nw_map_call_reads_per_s"]
+                           / rows["ref_pe_nw_reads_per_s"], 3),
+            "se_ksw2": round(rows["se_ksw2_map_call_reads_per_s"]
+                             / rows["ref_se_ksw2_reads_per_s"], 3),
+            "divergent3pct": round(
+                max(rows["divergent3pct_scalar_ext_reads_per_s"],
+                    rows["divergent3pct_pallas_ext_reads_per_s"],
+                    rows["divergent3pct_pallas_ksw2_reads_per_s"])
+                / rows["ref_divergent3pct_reads_per_s"], 3),
+        }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_MATRIX.json")
     with open(out, "w") as f:
