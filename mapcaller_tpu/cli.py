@@ -49,6 +49,8 @@ def _usage(prog: str) -> None:
          -id STR       assign sample id
          -backend STR  auto|device|host (TPU batch kernels vs NumPy oracle)
          -devices N    data-parallel read mapping over N local chips (auto = all)
+         -pfm PATH     checkpoint the post-mapping evidence profile to PATH
+         -pfm_resume PATH  skip mapping; run variant calling from a saved profile
          -v            version
 """)
 
@@ -137,6 +139,12 @@ def parse_args(argv: List[str]) -> Optional[Config]:
         elif p == "-shards" and i + 1 < n:
             # genome-shard the occ3 index over N devices (human scale)
             cfg.index_shards = int(nxt())
+        elif p == "-pfm" and i + 1 < n:
+            # checkpoint the post-mapping evidence profile
+            cfg.pfm_out = nxt()
+        elif p == "-pfm_resume" and i + 1 < n:
+            # skip mapping; run calling from a saved profile
+            cfg.pfm_resume = nxt()
         elif p == "-devices" and i + 1 < n:
             # data-parallel read mapping over N local chips (auto = all)
             v = nxt()
@@ -209,7 +217,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = parse_args(argv)
     if cfg is None:
         return 0
-    if not cfg.read_files1:
+    if not cfg.read_files1 and not cfg.pfm_resume:
         sys.stderr.write("Warning! Please specify a valid read input!\n")
         _usage(argv[0])
         return 0

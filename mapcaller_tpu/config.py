@@ -71,6 +71,8 @@ class Config:
     index_shards: int = 0                       # >1: genome-shard the occ3
                                                 # table over an N-device mesh
                                                 # (human-scale index path)
+    pfm_out: Optional[str] = None               # save the post-mapping PFM
+    pfm_resume: Optional[str] = None            # re-run calling from a PFM
     devices: int = 1                            # data-parallel local chips
                                                 # (-devices N|auto; 0 = all;
                                                 # parallel/devices.py)

@@ -48,8 +48,19 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
     metrics = {"version": VERSION_STR, "command": cmd_line}
     try:
         t0 = time.time()
-        run_mapping(engine, cfg, t_start)
+        if cfg.pfm_resume:
+            from .pipeline.checkpoint import load_pfm
+            load_pfm(engine, cfg.pfm_resume)
+            sys.stderr.write(f"Resumed evidence profile from "
+                             f"[{cfg.pfm_resume}]; skipping mapping.\n")
+        else:
+            run_mapping(engine, cfg, t_start)
         metrics["mapping_seconds"] = round(time.time() - t0, 3)
+        if cfg.pfm_out and not cfg.pfm_resume:
+            from .pipeline.checkpoint import save_pfm
+            t0 = time.time()
+            save_pfm(engine, cfg.pfm_out)
+            metrics["pfm_save_seconds"] = round(time.time() - t0, 3)
         if engine.profile is not None and (cfg.obs_pos >= 0 or cfg.obr_beg >= 0):
             from .tools import observe
             observe(engine.genome, engine.profile, engine.ref_chars,
