@@ -98,6 +98,8 @@ def main():
         cfg.stream_batch_size = int(os.environ["MC_STREAM_BATCH"])
     if os.environ.get("MC_COMPACT_FACTOR"):
         cfg.compact_factor = int(os.environ["MC_COMPACT_FACTOR"])
+    if os.environ.get("MC_STREAM_GROUP"):
+        cfg.stream_group = int(os.environ["MC_STREAM_GROUP"])
     engine = make_engine(idx, cfg)
     assert engine.backend is not None and engine.native is not None
 

@@ -83,6 +83,13 @@ class Config:
                                                 # chain dispatch (speculative,
                                                 # sparse host-reject correction)
     stream_pipeline_depth: int = 2              # device batches in flight
+    stream_group: int = 4                       # batches per transfer group
+                                                # (one H2D + one D2H per
+                                                # group; amortizes link
+                                                # latency: 137k -> 164k
+                                                # reads/s on the ~48 ms/
+                                                # transfer tunnel; ~free
+                                                # on PCIe — stream.py)
     device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
     prefix_skip_k: int = -1                     # fused seed-start skip depth
                                                 # (-1 = auto by HBM slack,

@@ -149,6 +149,19 @@ class MultiDeviceBackend:
         with jax.default_device(self.devs[i]):
             return self.bes[i].collect_chain(inner, n, read_codes_fn)
 
+    def submit_chain_group(self, parts, bucket: int, pair_end: bool = False):
+        """Whole groups round-robin across chips (one H2D + one D2H per
+        group per chip); member tokens carry the owning device."""
+        i = self._next()
+        with jax.default_device(self.devs[i]):
+            tokens, group = self.bes[i].submit_chain_group(parts, bucket,
+                                                           pair_end)
+        return [(i, t) for t in tokens], group
+
+    @staticmethod
+    def resolve_chain_group(group) -> None:
+        DeviceBackend.resolve_chain_group(group)
+
     def submit_packed(self, packed: np.ndarray, rlens: np.ndarray,
                       bucket: int, tier: int = 9):
         i = self._next()

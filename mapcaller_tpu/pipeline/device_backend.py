@@ -465,6 +465,50 @@ class DeviceBackend:
         return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
                 pd_dev, mmp_dev, rl_dev]
 
+    def submit_chain_group(self, parts, bucket: int, pair_end: bool = False):
+        """Transfer-grouped submission: ONE H2D upload carries g batches'
+        codes and ONE D2H carries their packed outputs — on ~50 ms/
+        transfer-latency links (the axon tunnel) this cuts the per-batch
+        round-trip cost by (g-1)/g while per-batch kernels, collect
+        semantics, tier reruns and the evidence apply stay unchanged.
+
+        parts: list of (packed uint8[B, bucket/4], rlens int32[B]).
+        Returns (tokens, group); the caller resolves `group` once via
+        resolve_chain_group() before collecting any member token."""
+        g = len(parts)
+        B = parts[0][0].shape[0]
+        big = np.concatenate([p for p, _ in parts], axis=0)
+        rl = np.concatenate([np.maximum(r, 0).astype(np.int32)
+                             for _, r in parts])
+        big_dev = jnp.asarray(big)
+        rl_dev = jnp.asarray(rl)
+        tokens = []
+        for i in range(g):
+            sl = slice(i * B, (i + 1) * B)
+            tokens.append(self.submit_chain_sliced(
+                big_dev[sl], rl_dev[sl], parts[i][1], bucket))
+        gd = jnp.concatenate([t[1] for t in tokens])
+        try:
+            gd.copy_to_host_async()
+        except Exception:
+            pass
+        group = {"gd": gd, "sizes": [int(t[1].shape[0]) for t in tokens],
+                 "tokens": tokens}
+        return tokens, group
+
+    @staticmethod
+    def resolve_chain_group(group) -> None:
+        """Materialize the group's single D2H and hand each member its
+        host slice (idempotent)."""
+        if group.get("gd") is None:
+            return
+        host = np.asarray(group["gd"])
+        off = 0
+        for t, n in zip(group["tokens"], group["sizes"]):
+            t[1] = host[off:off + n]
+            off += n
+        group["gd"] = None
+
     def collect_chain(self, token, n: int, read_codes_fn):
         """-> (cls, pd, mm, rplast, cscore, counts, rpos, gpos, slen).
         Overflow / too-long reads are re-seeded with the host oracle and

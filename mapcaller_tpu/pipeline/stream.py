@@ -82,8 +82,15 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # keep `depth` device batches in flight (16 parser slots bound
         # the batches whose host-side read data must stay alive); with
         # N data-parallel chips, at least N+1 so every chip stays busy
+        # transfer grouping: one H2D + one D2H per `group_n` batches —
+        # pays off on high-latency links (axon tunnel ~50 ms/transfer)
+        group_n = (max(1, int(getattr(cfg, "stream_group", 1)))
+                   if use_chain and fold_ev is None
+                   and hasattr(be, "submit_chain_group") else 1)
+        n_dev = getattr(be, "n_devices", 1)
         depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2),
-                            getattr(be, "n_devices", 1) + 1))
+                            n_dev + 1, 2 * group_n,
+                            group_n * (n_dev + 1) if n_dev > 1 else 0))
         from collections import deque
         slot = 0
         pending = deque()
@@ -97,6 +104,33 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         while not eof or pending:
             while not eof and len(pending) < depth:
                 t0 = pc() if prof is not None else 0.0
+                if group_n > 1:
+                    metas = []
+                    while not eof and len(metas) < group_n:
+                        n, maxlen = native.next_batch(slot, sb)
+                        if n <= 0:
+                            eof = True
+                            break
+                        metas.append((slot, n, maxlen))
+                        slot = (slot + 1) & 15
+                    if not metas:
+                        break
+                    bucket = next(
+                        (b for b in be.BUCKETS
+                         if b >= min(max(m[2] for m in metas), be.max_len)),
+                        be.BUCKETS[-1])
+                    parts = [native.batch_codes_packed(s, bucket, sb)
+                             for s, _, _ in metas]
+                    if prof is not None:
+                        t1 = pc()
+                        prof["parse"] += t1 - t0
+                    tokens, group = be.submit_chain_group(parts, bucket,
+                                                          pair_end)
+                    if prof is not None:
+                        prof["submit"] += pc() - t1
+                    for (s, n, _), tok in zip(metas, tokens):
+                        pending.append((s, n, tok, group))
+                    continue
                 n, maxlen = native.next_batch(slot, sb)
                 if n <= 0:
                     eof = True
@@ -113,11 +147,13 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                          else be.submit_packed(packed, rlens, bucket))
                 if prof is not None:
                     prof["submit"] += pc() - t1
-                pending.append((slot, n, token))
+                pending.append((slot, n, token, None))
                 slot = (slot + 1) & 15
             if not pending:
                 break
-            pslot, pn, ptoken = pending.popleft()
+            pslot, pn, ptoken, pgroup = pending.popleft()
+            if pgroup is not None:
+                be.resolve_chain_group(pgroup)
             if use_chain:
                 if prof is not None and prof["batches"] == 0:
                     _mark("first-submit(s)")
