@@ -380,17 +380,27 @@ class DeviceEvidence:
         bd, cand_idx, run_start, run_val, small = kern(
             acgt, multi, cov, self._ref_codes_dev(),
             jnp.int32(self.cfg.min_allele_depth), jnp.float32(freq_base))
-        # exactly TWO D2H round trips: the packed counts/partials, then
-        # one packed bucketed prefix of the cand/run tables (the
-        # capacity-padded arrays are 8.5 MB for a few thousand entries,
-        # and per-transfer tunnel latency makes separate pulls costly)
-        n_cand, n_runs, n_aligned, total_cov = unpack_small(
-            np.asarray(small))
+        # ONE speculative D2H round trip: counts/partials plus a fixed
+        # prefix of the cand/run tables ride one transfer (~80 KB ~ 3 ms
+        # payload vs ~50 ms/transfer link latency); only runs whose
+        # tables overflow the speculative prefix pay a second bucketed
+        # pull (the capacity-padded arrays are 8.5 MB — never pull whole)
+        K1S = min(4096, cand_idx.shape[0])
+        K2S = min(8192, run_start.shape[0])
+        ns = small.shape[0]
+        spec = np.asarray(jnp.concatenate(
+            [small.astype(jnp.int32), cand_idx[:K1S], run_start[:K2S],
+             run_val[:K2S]]))
+        n_cand, n_runs, n_aligned, total_cov = unpack_small(spec[:ns])
         scal4 = np.array([n_cand, n_runs, n_aligned, total_cov], np.int64)
         k1 = _bucket(n_cand, cand_idx.shape[0])
         k2 = _bucket(n_runs, run_start.shape[0])
-        packed = np.asarray(jnp.concatenate(
-            [cand_idx[:k1], run_start[:k2], run_val[:k2]]))
+        if n_cand <= K1S and n_runs <= K2S:
+            k1, k2 = K1S, K2S
+            packed = spec[ns:]
+        else:
+            packed = np.asarray(jnp.concatenate(
+                [cand_idx[:k1], run_start[:k2], run_val[:k2]]))
         nb = (self.L + BLOCK_SIZE - 1) // BLOCK_SIZE
         self._scan = (LazyBlockDepth(bd, nb), packed[:k1],
                       packed[k1:k1 + k2], packed[k1 + k2:], scal4)

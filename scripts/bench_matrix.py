@@ -27,7 +27,9 @@ def run_map_call(idx, cfg_kwargs, files, n_expect, passes=1):
     cfg.read_files2 = [files[1]] if files[1] else []
     best = float("inf")
     for i in range(passes + 1):   # pass 0 = warm-up/compile
-        engine = MappingEngine(idx, cfg, backend=engine.backend)
+        # steady-state serving reuse, same as bench.py: in-place plane
+        # reset instead of re-faulting fresh genome-sized allocations
+        engine.reset_run()
         t0 = time.time()
         run_stream_mapping(engine, cfg, t0)
         engine.finalize()
