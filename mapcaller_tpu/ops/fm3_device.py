@@ -67,10 +67,14 @@ def _occ3_rows_device(sa: jnp.ndarray, words: jnp.ndarray,
     cnt = jnp.concatenate([jnp.zeros((1, 64), jnp.int32),
                            jnp.cumsum(per, axis=0)[:-1]])
 
-    b = blocks.astype(jnp.uint32).reshape(nw3, 4, 4)
-    sh8 = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
-    packed = (b << sh8).sum(axis=2, dtype=jnp.uint32)
-    packed_i32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    # pack 4 symbol bytes/word via 1-D strided slices: a [nw3, 4, 4]
+    # reshape here cost 32x tile padding (14.3 GB at 60 Mb genomes —
+    # XLA pads minor dims to the (8,128) tile)
+    su = sym.astype(jnp.uint32)
+    packed_flat = (su[0::4] + (su[1::4] << 8) + (su[2::4] << 16)
+                   + (su[3::4] << 24))
+    packed_i32 = jax.lax.bitcast_convert_type(
+        packed_flat, jnp.int32).reshape(nw3, 4)
     rows = jnp.concatenate(
         [cnt, packed_i32, jnp.zeros((nw3, 4), jnp.int32)], axis=1)
 

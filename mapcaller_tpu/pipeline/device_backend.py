@@ -160,8 +160,12 @@ class DeviceBackend:
                         + (88 * L if self.device_evidence_ok else 0)
                         + self._WORKSPACE)
                 slack = self._hbm_bytes() - used - 500_000_000
+                # charge 4x the table: the embed concat transiently
+                # holds old+new rows, and compile-time double residency
+                # (measured: K=11 at 60 Mb OOM'd 19.7/15.75 GB while the
+                # steady model predicted ~11 GB)
                 k = next((kk for kk in (11, 10, 8)
-                          if 288 * (4 ** kk) <= slack), 0)
+                          if 4 * 288 * (4 ** kk) <= slack), 0)
             tw = self.chain_ctx.text_words if self.chain_enabled else None
             self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k,
                                             text_words=tw)
