@@ -100,6 +100,8 @@ def main():
         cfg.compact_factor = int(os.environ["MC_COMPACT_FACTOR"])
     if os.environ.get("MC_STREAM_GROUP"):
         cfg.stream_group = int(os.environ["MC_STREAM_GROUP"])
+    if os.environ.get("MC_STREAM_DEPTH"):
+        cfg.stream_pipeline_depth = int(os.environ["MC_STREAM_DEPTH"])
     engine = make_engine(idx, cfg)
     assert engine.backend is not None and engine.native is not None
 
