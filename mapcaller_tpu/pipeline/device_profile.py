@@ -133,23 +133,28 @@ def build_correct_kernel(L: int, two_l: int, B: int, pair_end: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def build_host_merge_kernel(L: int, N: int):
+def build_host_merge_kernel(L: int, Na: int, Ne: int, Nf: int, Nm: int):
     """Scatter-add the host profile's sparse nonzero deltas (slow-read
     evidence) into the device planes: one call at finalize. idx arrays
-    address the flattened planes; n marks valid prefix length."""
+    address the flattened planes; n marks valid prefix length. Each
+    array gets its OWN tier — one shared tier paid 4x the largest
+    array's padding in upload bytes (the link is the cost here)."""
 
     def kernel(planes: DevicePlanes, idx_a, val_a, n_a, idx_e, val_e, n_e,
                idx_f, val_f, n_f, idx_m, val_m, n_m):
-        on = jnp.arange(N, dtype=jnp.int32)
         acgt = planes.acgt.reshape(-1)
+        on = jnp.arange(Na, dtype=jnp.int32)
         acgt = acgt.at[jnp.where(on < n_a, idx_a, 4 * (L + 1) - 1)].add(
             jnp.where(on < n_a, val_a, 0), mode="drop")
+        on = jnp.arange(Ne, dtype=jnp.int32)
         exact = planes.exact_diff.at[
             jnp.where(on < n_e, idx_e, L + 1)].add(
             jnp.where(on < n_e, val_e, 0), mode="drop")
         fd = planes.f_diff.reshape(-1)
+        on = jnp.arange(Nf, dtype=jnp.int32)
         fd = fd.at[jnp.where(on < n_f, idx_f, 4 * (L + 2) - 1)].add(
             jnp.where(on < n_f, val_f, 0), mode="drop")
+        on = jnp.arange(Nm, dtype=jnp.int32)
         multi = planes.multi_diff.at[
             jnp.where(on < n_m, idx_m, L + 1)].add(
             jnp.where(on < n_m, val_m, 0), mode="drop")
@@ -222,7 +227,8 @@ class DeviceEvidence:
     slow-read deltas) + the dense caller scan + sparse column fetches.
     Falls back to a full plane download for gVCF/monomorphic/observe."""
 
-    MERGE_TIERS = (1 << 16, 1 << 18, 1 << 20, 1 << 23)
+    MERGE_TIERS = (1 << 14, 1 << 16, 1 << 17, 1 << 18, 1 << 19,
+                   1 << 20, 1 << 21, 1 << 23)
 
     def __init__(self, backend, cfg, host_profile):
         self.be = backend
@@ -336,18 +342,22 @@ class DeviceEvidence:
         if_ = np.concatenate([x[0] for x in fparts])
         vf = np.concatenate([x[1] for x in fparts])
         im, vm = nz(p.multi_diff, 0, 0)
-        n = max(ia.size, ie.size, if_.size, im.size, 1)
-        N = next(t for t in self.MERGE_TIERS if t >= n)
-        kern = build_host_merge_kernel(L, N)
+
+        def tier(n):
+            return next(t for t in self.MERGE_TIERS if t >= max(n, 1))
+
+        Na, Ne, Nf, Nm = (tier(ia.size), tier(ie.size), tier(if_.size),
+                          tier(im.size))
+        kern = build_host_merge_kernel(L, Na, Ne, Nf, Nm)
         self.planes = kern(
             self.planes,
-            jnp.asarray(_pad(ia, N)), jnp.asarray(_pad(va, N)),
+            jnp.asarray(_pad(ia, Na)), jnp.asarray(_pad(va, Na)),
             jnp.int32(ia.size),
-            jnp.asarray(_pad(ie, N)), jnp.asarray(_pad(ve, N)),
+            jnp.asarray(_pad(ie, Ne)), jnp.asarray(_pad(ve, Ne)),
             jnp.int32(ie.size),
-            jnp.asarray(_pad(if_, N)), jnp.asarray(_pad(vf, N)),
+            jnp.asarray(_pad(if_, Nf)), jnp.asarray(_pad(vf, Nf)),
             jnp.int32(if_.size),
-            jnp.asarray(_pad(im, N)), jnp.asarray(_pad(vm, N)),
+            jnp.asarray(_pad(im, Nm)), jnp.asarray(_pad(vm, Nm)),
             jnp.int32(im.size))
         # zero the host-side copies so a later download doesn't double-add
         p.acgt[:] = 0
