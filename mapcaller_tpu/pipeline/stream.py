@@ -83,9 +83,12 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # the batches whose host-side read data must stay alive); with
         # N data-parallel chips, at least N+1 so every chip stays busy
         # transfer grouping: one H2D + one D2H per `group_n` batches —
-        # pays off on high-latency links (axon tunnel ~50 ms/transfer)
+        # pays off on high-latency links (axon tunnel ~50 ms/transfer).
+        # Off under -shards: the sliced submit builds single-chip
+        # kernels, which would silently bypass the sharded-index path
         group_n = (max(1, int(getattr(cfg, "stream_group", 1)))
                    if use_chain and fold_ev is None
+                   and getattr(be, "index_shards", 0) <= 1
                    and hasattr(be, "submit_chain_group") else 1)
         n_dev = getattr(be, "n_devices", 1)
         depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2),
