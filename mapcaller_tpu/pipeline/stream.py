@@ -91,9 +91,13 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                    and getattr(be, "index_shards", 0) <= 1
                    and hasattr(be, "submit_chain_group") else 1)
         n_dev = getattr(be, "n_devices", 1)
-        depth = min(14, max(1, getattr(cfg, "stream_pipeline_depth", 2),
-                            n_dev + 1, 2 * group_n,
-                            group_n * (n_dev + 1) if n_dev > 1 else 0))
+        # cap so a full group pushed at depth-1 pending still fits the
+        # 16 parser slots (a reused slot would overwrite host read data
+        # of a batch still in flight)
+        depth = min(14, 16 - group_n,
+                    max(1, getattr(cfg, "stream_pipeline_depth", 2),
+                        n_dev + 1, 2 * group_n,
+                        group_n * (n_dev + 1) if n_dev > 1 else 0))
         from collections import deque
         slot = 0
         pending = deque()
