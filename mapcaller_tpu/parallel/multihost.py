@@ -104,31 +104,47 @@ def _decode_aux(arr: np.ndarray, used: int, profile, inv_sites,
 
 
 def _shard_fastq(src: str, dst: str, process_id: int, num_processes: int,
-                 mate_sel: int = 0, interleaved: bool = False) -> int:
+                 interleaved: bool = False) -> int:
     """Write this host's read shard: record i goes to host
     (i // (2 if interleaved else 1)) % num_processes, so mates co-locate
     on one host (the pairing/rescue state is per-host, mirroring the
-    reference's per-thread chunks, ReadMapping.cpp:735-736). Returns the
-    number of records written."""
+    reference's per-thread chunks, ReadMapping.cpp:735-736). FASTA
+    records may wrap sequence over multiple lines (the 70-column format
+    this repo itself writes); FASTQ is fixed 4-line. Returns the number
+    of records written."""
     import gzip
     op = gzip.open if src.endswith(".gz") else open
-    fastq = None
     n_written = 0
     with op(src, "rt") as f, open(dst, "w") as out:
-        rec = []
+        first = f.read(1)
+        f.seek(0)
+        fastq = first == "@"
         idx_rec = 0
-        for line in f:
-            if fastq is None:
-                fastq = line.startswith("@")
-            rec.append(line)
-            per = 4 if fastq else 2
-            if len(rec) == per:
-                pair_ix = idx_rec // 2 if interleaved else idx_rec
-                if pair_ix % num_processes == process_id:
-                    out.writelines(rec)
-                    n_written += 1
-                rec = []
-                idx_rec += 1
+
+        def emit(rec):
+            nonlocal n_written, idx_rec
+            pair_ix = idx_rec // 2 if interleaved else idx_rec
+            if pair_ix % num_processes == process_id:
+                out.writelines(rec)
+                n_written += 1
+            idx_rec += 1
+
+        if fastq:
+            rec = []
+            for line in f:
+                rec.append(line)
+                if len(rec) == 4:
+                    emit(rec)
+                    rec = []
+        else:
+            rec = []
+            for line in f:
+                if line.startswith(">") and rec:
+                    emit(rec)
+                    rec = []
+                rec.append(line)
+            if rec:
+                emit(rec)
     return n_written
 
 
