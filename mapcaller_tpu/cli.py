@@ -224,6 +224,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.read_files2 and len(cfg.read_files1) != len(cfg.read_files2):
         sys.stderr.write("Warning! Paired-end reads input numbers do not match!\n")
         return 0
+    if (cfg.pfm_out or cfg.pfm_resume) and not cfg.vcf_output:
+        sys.stderr.write("Warning! -pfm/-pfm_resume require the evidence "
+                         "profile; remove -no_vcf.\n")
+        return 1
     cmd_line = " ".join(argv)
     return run(cfg, cmd_line)
 

@@ -57,10 +57,15 @@ class Config:
     use_native: bool = True                     # C++ chunk processor (post-seeding)
     batch_size: int = 8192                      # reads per device batch
     stream_batch_size: int = 32768              # stream fast path (packed kernels)
-    compact_factor: int = 1                     # seed-scan lane compaction:
+    compact_factor: int = 0                     # seed-scan lane compaction:
                                                 # lanes = batch/compact_factor;
                                                 # >1 costs ~mean trajectory
-                                                # instead of max
+                                                # instead of max (1.95x scan
+                                                # with pfx fusion). 0 = auto:
+                                                # enable x4 with 131k stream
+                                                # batches when the input is
+                                                # large enough to fill them
+                                                # (pipeline/stream.py)
     device_chain: bool = True                   # device chaining/classification
     device_evidence: bool = True                # HBM evidence planes; auto-
                                                 # falls back to the host C++

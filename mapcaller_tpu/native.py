@@ -56,6 +56,9 @@ def load_lib():
         lib.mc_next_batch.restype = C.c_int32
         lib.mc_next_batch.argtypes = [C.c_void_p, C.c_int32, C.c_int32,
                                       C.c_void_p]
+        lib.mc_parser_slots.restype = C.c_int32
+        lib.mc_parser_slots.argtypes = []
+        lib.mc_slot_release.argtypes = [C.c_void_p, C.c_int32]
         lib.mc_batch_codes.argtypes = [C.c_void_p, C.c_int32, C.c_void_p,
                                        C.c_void_p, C.c_int32, C.c_int32]
         lib.mc_batch_codes_packed.argtypes = [C.c_void_p, C.c_int32,
@@ -186,11 +189,26 @@ class NativeEngine:
                               buf2, len(buf2) if buf2 is not None else 0,
                               int(pair_interleaved))
 
+    @property
+    def parser_slots(self) -> int:
+        """Size of the native parser slot ring (single source of truth)."""
+        return int(self.lib.mc_parser_slots())
+
     def next_batch(self, slot: int, max_reads: int) -> Tuple[int, int]:
-        """Parse the next batch into a slot; -> (n_reads, max_rlen)."""
+        """Parse the next batch into a slot; -> (n_reads, max_rlen).
+        The slot stays owned by the in-flight batch until slot_release."""
         maxlen = np.zeros(1, dtype=np.int32)
         n = self.lib.mc_next_batch(self.ctx, slot, max_reads, _ptr(maxlen))
+        if n < 0:
+            raise RuntimeError(
+                f"parser slot {slot} reused while its batch is still in "
+                f"flight (ring size {self.parser_slots}); pipeline "
+                f"depth x group exceeds the ring")
         return n, int(maxlen[0])
+
+    def slot_release(self, slot: int) -> None:
+        """Mark a parsed batch's host read data as no longer in flight."""
+        self.lib.mc_slot_release(self.ctx, slot)
 
     def batch_codes(self, slot: int, bucket: int, cap: int):
         codes = np.empty((cap, bucket), dtype=np.uint8)

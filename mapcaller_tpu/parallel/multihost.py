@@ -208,15 +208,19 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
         p.alloc_diffs()
 
     # ---- ONE allreduce of the raw evidence planes over the mesh -------
+    # (scalar stats ride the aux all_gather instead: read_length_sum is
+    # total mapped bases and exceeds int32 at ~2.1 Gbp/host, so they are
+    # hi/lo int32 pairs summed in Python on host 0)
     st = engine.stats
-    planes = np.concatenate([
+    local = np.concatenate([
         p.acgt.reshape(-1), p.read_count,
         p.exact_diff, p.F1_diff, p.R2_diff, p.F2_diff, p.R1_diff,
         p.multi_diff]).astype(np.int32)
-    stats = np.asarray([st.total_reads, st.total_mapped, st.total_paired,
-                        st.total_paired_distance, st.read_length_sum],
-                       dtype=np.int32)
-    local = np.concatenate([planes, stats])
+    stat_vals = [st.total_reads, st.total_mapped, st.total_paired,
+                 st.total_paired_distance, st.read_length_sum]
+    stat_words = np.asarray(
+        [w for v in stat_vals for w in (v >> 30, v & ((1 << 30) - 1))],
+        dtype=np.int32)   # int32-safe up to 2^60 per stat per host
 
     devs = jax.devices()   # global device list across processes
     mesh = Mesh(np.asarray(devs), ("hosts",))
@@ -253,9 +257,11 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
 
     max_words = int(np.asarray(
         [s.data for s in allmax(len_g).addressable_shards][0])[0])
-    aux_local = np.zeros(1 + max_words, dtype=np.int32)
+    ns = stat_words.size
+    aux_local = np.zeros(1 + ns + max_words, dtype=np.int32)
     aux_local[0] = aux_words.size
-    aux_local[1:1 + aux_words.size] = aux_words
+    aux_local[1:1 + ns] = stat_words
+    aux_local[1 + ns:1 + ns + aux_words.size] = aux_words
     aux_dev = jax.device_put(jnp.asarray(aux_local[None, :]),
                              jax.local_devices()[0])
     aux_g = jax.make_array_from_single_device_arrays(
@@ -293,11 +299,14 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     p.F2_diff[:] = parts[5].astype(np.int32)
     p.R1_diff[:] = parts[6].astype(np.int32)
     p.multi_diff[:] = parts[7].astype(np.int32)
-    st.total_reads = int(reduced[off])
-    st.total_mapped = int(reduced[off + 1])
-    st.total_paired = int(reduced[off + 2])
-    st.total_paired_distance = int(reduced[off + 3])
-    st.read_length_sum = int(reduced[off + 4])
+    # sum the per-host hi/lo stat pairs in Python (arbitrary precision)
+    sums = [0] * 5
+    for h in range(gathered.shape[0]):
+        row = gathered[h]
+        for k in range(5):
+            sums[k] += (int(row[1 + 2 * k]) << 30) | int(row[2 + 2 * k])
+    (st.total_reads, st.total_mapped, st.total_paired,
+     st.total_paired_distance, st.read_length_sum) = sums
     p.break_point.clear()
     p.insert_map.clear()
     p.delete_map.clear()
@@ -305,7 +314,7 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     engine.tnl_sites.clear()
     for h in range(gathered.shape[0]):
         row = gathered[h]
-        _decode_aux(row[1:], int(row[0]), p, engine.inv_sites,
+        _decode_aux(row[1 + ns:], int(row[0]), p, engine.inv_sites,
                     engine.tnl_sites)
     engine.finalize()   # folds the merged diffs ONCE (cap-after-sum)
 

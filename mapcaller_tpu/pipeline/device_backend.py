@@ -85,6 +85,11 @@ class DeviceBackend:
                 "(genome-sharded x64 index) on an N-device mesh")
         self._sharded = None
         self._big = None
+        # counts ACTUAL sharded-kernel dispatches: a routing escape
+        # (grouped/sliced submits silently building single-chip kernels
+        # under -shards) stays byte-identical on a shared-RAM CPU mesh,
+        # so parity tests can't catch it — tests assert this is > 0
+        self.sharded_invocations = 0
         # device-resident evidence planes: budget-gated on one chip
         # (fall back to the host C++ diff arrays when they don't fit);
         # the big sharded path keeps them genome-sharded at O(L/n) per
@@ -437,6 +442,7 @@ class DeviceBackend:
             rl_dev = jax.device_put(jnp.asarray(rl_p),
                                     NamedSharding(mesh, P("dp")))
             dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)
+            self.sharded_invocations += 1
             return [kernel, dev, rlens < 0, packed_dev, bucket, rlens,
                     pd_dev, mmp_dev, rl_dev]
         rl = np.maximum(rlens, 0)
@@ -463,6 +469,10 @@ class DeviceBackend:
         resident (one bulk upload covers many batches; per-batch views
         are eager device slices, so the tunnel pays one transfer instead
         of one per batch)."""
+        if self.index_shards > 1:
+            raise RuntimeError(
+                "submit_chain_sliced builds single-chip kernels and would "
+                "silently bypass the sharded-index path under -shards")
         kernel = self._chain_kernel_for(bucket, tier,
                                         batch=int(packed_dev.shape[0]))
         dev, pd_dev, mmp_dev = kernel(packed_dev, rl_dev)

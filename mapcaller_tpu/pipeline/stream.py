@@ -28,6 +28,48 @@ def _load_bytes(path: str) -> bytes:
         return f.read()
 
 
+# cfg.compact_factor == 0 (auto): enable x4 lane compaction with 131k
+# stream batches when the input can fill enough of them that the drain
+# tail amortizes. Compacted lanes refill from a queued-read pool so the
+# scan cost tracks the MEAN lane trajectory instead of the max — with
+# the fused prefix-skip this is the measured 39.2 ms/32k scan (1.95x,
+# SCAN_BENCH.json); seed sets stay bit-identical (test_fm_compact).
+_COMPACT_AUTO_FACTOR = 4
+_COMPACT_AUTO_LANES = 32768
+
+
+def _estimate_records(buf: bytes) -> int:
+    """Record-count estimate from an exact parse of a 256 KB prefix,
+    scaled by total size (exact counting would touch the whole buffer)."""
+    if not buf:
+        return 0
+    n = 1 << 18
+    sample = buf[:n]
+    if buf[:1] == b"@":
+        nrec = sample.count(b"\n") // 4
+    else:
+        nrec = sample.count(b">")
+    if len(buf) <= n:
+        return nrec
+    return int(nrec * (len(buf) / n))
+
+
+def _resolve_auto_compaction(cfg: Config, be, buf1: bytes,
+                             buf2) -> None:
+    cfg.compact_factor = 1
+    if not (getattr(be, "chain_enabled", False)
+            and getattr(be, "_fm3_ok", False)
+            and getattr(be, "index_shards", 0) <= 1
+            and getattr(be, "n_devices", 1) == 1):
+        return
+    est = _estimate_records(buf1) + (_estimate_records(buf2)
+                                     if buf2 is not None else 0)
+    batch = _COMPACT_AUTO_FACTOR * _COMPACT_AUTO_LANES
+    if est >= 6 * batch:
+        cfg.compact_factor = _COMPACT_AUTO_FACTOR
+        cfg.stream_batch_size = batch
+
+
 def run_stream_mapping(engine, cfg: Config, t_start: float,
                        sam_sink: Optional[Callable[[str], None]] = None) -> None:
     """Requires engine.native and engine.backend. Updates engine.stats,
@@ -72,6 +114,8 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         pair_end = f2 is not None or cfg.pair_interleaved
         buf1 = _load_bytes(f1)
         buf2 = _load_bytes(f2) if f2 is not None else None
+        if int(getattr(cfg, "compact_factor", 1)) == 0:
+            _resolve_auto_compaction(cfg, be, buf1, buf2)
         fastq = buf1[:1] == b"@"
         native.set_input(buf1, buf2, cfg.pair_interleaved)
         _mark("load+set_input")
@@ -86,15 +130,20 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
         # pays off on high-latency links (axon tunnel ~50 ms/transfer).
         # Off under -shards: the sliced submit builds single-chip
         # kernels, which would silently bypass the sharded-index path
-        group_n = (max(1, int(getattr(cfg, "stream_group", 1)))
+        # group_n > 8 would leave < 8 parser slots for in-flight depth
+        # (and >= 16 would drive `depth` to zero: silent empty output)
+        group_n = (min(8, max(1, int(getattr(cfg, "stream_group", 1))))
                    if use_chain and fold_ev is None
                    and getattr(be, "index_shards", 0) <= 1
                    and hasattr(be, "submit_chain_group") else 1)
         n_dev = getattr(be, "n_devices", 1)
         # cap so a full group pushed at depth-1 pending still fits the
-        # 16 parser slots (a reused slot would overwrite host read data
-        # of a batch still in flight)
-        depth = min(14, 16 - group_n,
+        # native parser slot ring (exported: single source of truth);
+        # a reused slot would overwrite host read data of a batch still
+        # in flight — the native side now refuses with an error, and
+        # this cap guarantees we never hit it
+        n_slots = native.parser_slots
+        depth = min(n_slots - 2, n_slots - group_n,
                     max(1, getattr(cfg, "stream_pipeline_depth", 2),
                         n_dev + 1, 2 * group_n,
                         group_n * (n_dev + 1) if n_dev > 1 else 0))
@@ -119,7 +168,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                             eof = True
                             break
                         metas.append((slot, n, maxlen))
-                        slot = (slot + 1) & 15
+                        slot = (slot + 1) % n_slots
                     if not metas:
                         break
                     bucket = next(
@@ -155,7 +204,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                 if prof is not None:
                     prof["submit"] += pc() - t1
                 pending.append((slot, n, token, None))
-                slot = (slot + 1) & 15
+                slot = (slot + 1) % n_slots
             if not pending:
                 break
             pslot, pn, ptoken, pgroup = pending.popleft()
@@ -197,6 +246,7 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                     ptoken, pn, lambda i, s=pslot: native.read_codes(s, i))
                 sam_text, st = native.process_batch(
                     pslot, pair_end, fastq, counts, rp, gp, ln, stats_io)
+            native.slot_release(pslot)
             engine.inv_sites.extend(st["inv"])
             engine.tnl_sites.extend(st["tnl"])
             if sam_sink is not None and sam_text:

@@ -56,11 +56,6 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
         else:
             run_mapping(engine, cfg, t_start)
         metrics["mapping_seconds"] = round(time.time() - t0, 3)
-        if cfg.pfm_out and not cfg.pfm_resume:
-            from .pipeline.checkpoint import save_pfm
-            t0 = time.time()
-            save_pfm(engine, cfg.pfm_out)
-            metrics["pfm_save_seconds"] = round(time.time() - t0, 3)
         if engine.profile is not None and (cfg.obs_pos >= 0 or cfg.obr_beg >= 0):
             from .tools import observe
             observe(engine.genome, engine.profile, engine.ref_chars,
@@ -69,6 +64,14 @@ def run_pipeline(cfg: Config, cmd_line: str) -> int:
             t0 = time.time()
             metrics["variant_counts"] = run_calling(engine, cfg, cmd_line)
             metrics["calling_seconds"] = round(time.time() - t0, 3)
+        # checkpoint AFTER calling: save_pfm materializes (downloads +
+        # clears) the HBM evidence planes, which would otherwise force
+        # this run's own calling onto the slower host-plane path
+        if cfg.pfm_out and not cfg.pfm_resume:
+            from .pipeline.checkpoint import save_pfm
+            t0 = time.time()
+            save_pfm(engine, cfg.pfm_out)
+            metrics["pfm_save_seconds"] = round(time.time() - t0, 3)
     finally:
         if temp_prefix:
             for ext in (".mci.npz", ".mci.bin", ".mci.json", ".occ3.bin"):
@@ -113,7 +116,10 @@ def make_engine(idx: FMIndex, cfg: Config):
                 from .pipeline.device_backend import DeviceBackend
                 backend = DeviceBackend(idx, cfg)
         except Exception as e:  # pragma: no cover
-            if cfg.backend == "device" or cfg.devices != 1:
+            # hard-raise only for an EXPLICIT multi-device request or
+            # backend=device; `-devices auto` (0) keeps the documented
+            # graceful host-path fallback
+            if cfg.backend == "device" or cfg.devices > 1:
                 raise
             sys.stderr.write(f"[warn] device backend unavailable ({e}); using host path\n")
     return MappingEngine(idx, cfg, backend=backend)

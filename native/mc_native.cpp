@@ -1637,6 +1637,10 @@ struct StreamRead {
 struct Batch {
   vector<StreamRead> reads;
   i32 n = 0;
+  // set when the batch is handed to the device pipeline; the host read
+  // data must stay alive until mc_slot_release. Reusing a busy slot
+  // would silently overwrite reads of a batch still in flight.
+  bool busy = false;
 };
 
 struct Input {
@@ -1646,14 +1650,30 @@ struct Input {
   bool fastq = true;
 };
 
+// single source of truth for the parser ring size (exported via
+// mc_parser_slots; Python must not hard-code it)
+static const i32 kParserSlots = 16;
+
 struct Stream {
   Input in1, in2;
   bool paired_files = false;
   bool pair_interleaved = false;
-  Batch slot[16];
+  Batch slot[kParserSlots];
 };
 
 static thread_local Stream g_stream;
+
+// bounds-checked slot access: an out-of-range index is a host-side
+// logic bug that previously wrapped silently (& 15) and corrupted
+// in-flight read data — fail loudly instead.
+static Batch& slot_ref(i32 idx) {
+  if (idx < 0 || idx >= kParserSlots) {
+    fprintf(stderr, "[mc_native] FATAL: parser slot %d out of range [0,%d)\n",
+            idx, kParserSlots);
+    abort();
+  }
+  return g_stream.slot[idx];
+}
 
 // header trim (ref: GetData.cpp:3-20 / io/fastq.py _trim_header):
 // strip leading '@'/'>' run, cut at space / '/' / non-printable, <=100 chars
@@ -1747,7 +1767,13 @@ void mc_set_input(void* ctx, const char* buf1, i64 len1,
 i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
   (void)ctx;
   Stream& st = g_stream;
-  Batch& b = st.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
+  if (b.busy) {
+    // the batch previously parsed into this slot is still in flight;
+    // refusing beats the silent overwrite (returns -1: caller raises)
+    *out_maxlen = 0;
+    return -1;
+  }
   if ((i32)b.reads.size() < max_reads) b.reads.resize(max_reads);
   i32 n = 0;
   i32 maxlen = 0;
@@ -1770,8 +1796,17 @@ i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
     }
   }
   b.n = n;
+  b.busy = n > 0;
   *out_maxlen = maxlen;
   return n;
+}
+
+// ring-size contract + in-flight release (paired with mc_next_batch)
+i32 mc_parser_slots(void) { return kParserSlots; }
+
+void mc_slot_release(void* ctx, i32 slot_idx) {
+  (void)ctx;
+  slot_ref(slot_idx).busy = false;
 }
 
 // fill the device input matrix: codes[cap][bucket] padded with 4, rlens.
@@ -1779,7 +1814,7 @@ i32 mc_next_batch(void* ctx, i32 slot_idx, i32 max_reads, i32* out_maxlen) {
 void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
                     i32* rlens, i32 bucket, i32 cap) {
   (void)ctx;
-  Batch& b = g_stream.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
   memset(codes, 4, (size_t)cap * bucket);
   for (i32 i = 0; i < b.n; i++) {
     const string& s = b.reads[i].seq;
@@ -1799,7 +1834,7 @@ void mc_batch_codes(void* ctx, i32 slot_idx, unsigned char* codes,
 void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
                            i32* rlens, i32 bucket, i32 cap) {
   (void)ctx;
-  Batch& b = g_stream.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
   i32 wb = bucket / 4;
   memset(packed, 0, (size_t)cap * wb);
   for (i32 i = 0; i < b.n; i++) {
@@ -1825,7 +1860,7 @@ void mc_batch_codes_packed(void* ctx, i32 slot_idx, unsigned char* packed,
 // resize its buffer and retry when cap was too small
 i32 mc_read_seq(void* ctx, i32 slot_idx, i32 i, char* buf, i32 cap) {
   (void)ctx;
-  const string& s = g_stream.slot[slot_idx & 15].reads[i].seq;
+  const string& s = slot_ref(slot_idx).reads[i].seq;
   size_t n = s.size() < (size_t)cap ? s.size() : (size_t)cap;
   memcpy(buf, s.data(), n);
   return (i32)s.size();
@@ -1840,7 +1875,7 @@ void mc_process_batch(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                       const i64* seed_gpos, const i32* seed_len,
                       i64* stats_io, i64* out_sizes /*[8]*/) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
   c.fastq = fastq != 0;
   ChunkOut& o = g_out;
   o = ChunkOut();
@@ -1911,7 +1946,7 @@ void mc_process_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                           const i64* seed_gpos, const i32* seed_len,
                           i64* stats_io, i64* out_sizes /*[8]*/) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
   c.fastq = fastq != 0;
   ChunkOut& o = g_out;
   o = ChunkOut();
@@ -1984,7 +2019,7 @@ i64 mc_prepare_batch_cls(void* ctx, i32 slot_idx, i32 pair_end, i32 fastq,
                          const i32* seed_counts, const i32* seed_rpos,
                          const i64* seed_gpos, const i32* seed_len) {
   Ctx& c = *(Ctx*)ctx;
-  Batch& b = g_stream.slot[slot_idx & 15];
+  Batch& b = slot_ref(slot_idx);
   i32 n = b.n;
   i64 t0 = now_ns();
   g_prep.reads.assign((size_t)n, Read());

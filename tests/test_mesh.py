@@ -266,6 +266,11 @@ def test_sharded_backend_stream_golden(tmp_path, toy_fasta):
     cfg.read_files2 = [os.path.join(data, "sub_r2.fq.gz")]
     parts = []
     run_stream_mapping(engine, cfg, time.time(), parts.append)
+    # the a920c8b escape class: grouped/sliced submits silently building
+    # single-chip kernels under -shards stays byte-identical on this
+    # shared-RAM CPU mesh, so the parity checks below cannot catch it —
+    # assert the sharded kernels actually executed
+    assert backend.sharded_invocations > 0
     engine.finalize()
     run_calling(engine, cfg, "t")
 
