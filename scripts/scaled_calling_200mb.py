@@ -15,10 +15,12 @@ ever materializes a genome-sized plane.
 
 Env: MC_S200_L (genome bp, default 200e6), MC_S200_SHARDS (8),
 MC_S200_DEPTH (8), MC_S200_WIN (planted+sequenced window bp, 8e6),
-MC_S200_DIR (/tmp/s200). Writes SCALED_CALLING_200MB.json.
+MC_S200_DIR (/tmp/s200), MC_S200_OUT (artifact name, default
+SCALED_CALLING_200MB.json — the 1 Gbp run writes HUMAN_SCALE.json).
 """
 import json
 import os
+import resource
 import subprocess
 import sys
 import time
@@ -36,6 +38,7 @@ W0 = L // 2
 W1 = W0 + WIN
 RLEN, FRAG_LO, FRAG_HI = 100, 350, 550
 REF_BIN = "/tmp/refbuild/src/MapCaller"
+OUT_NAME = os.environ.get("MC_S200_OUT", "SCALED_CALLING_200MB.json")
 BASES = "ACGT"
 
 
@@ -143,6 +146,10 @@ def main():
         t0 = time.time()
         build_index(fa, idx_p)
         out["index_build_s"] = round(time.time() - t0, 1)
+        # the build is the first big allocation in this process, so
+        # ru_maxrss here IS its peak (the VERDICT r4 #3 <=32 GB bound)
+        out["index_build_peak_rss_gb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     idx = load_index(idx_p)
     codes = idx.ref.codes
 
@@ -189,6 +196,10 @@ def main():
     t0 = time.time()
     run_stream_mapping(engine, cfg, t0)
     out["tpu_map_s"] = round(time.time() - t0, 1)
+    out["map_peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    assert engine.backend.sharded_invocations > 0, \
+        "sharded kernels never executed (routing escape)"
     # per-device table/plane memory (the O(L/n) contract)
     be = engine.backend
     n = idx.seq_len
@@ -217,7 +228,7 @@ def main():
               if {t["pos"], t["pos"] + 1, t["pos"] + 2} & called)
     out["truth_called"] = hit
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALED_CALLING_200MB.json"), "w") as f:
+    with open(os.path.join(repo, OUT_NAME), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
