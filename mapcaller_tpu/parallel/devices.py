@@ -57,7 +57,11 @@ class MultiDeviceBackend:
     is_multi_device = True
 
     def __init__(self, idx: FMIndex, cfg: Config, n_devices: int):
-        devs = jax.devices()
+        # local_devices, not devices: under jax.distributed the global
+        # list includes other hosts' (non-addressable) chips — this
+        # backend is the per-host scale axis and composes with the
+        # multi-host psum (parallel/multihost.py run_host(devices=N))
+        devs = jax.local_devices()
         if n_devices > len(devs):
             raise ValueError(
                 f"-devices {n_devices} but only {len(devs)} local "

@@ -150,14 +150,21 @@ def _shard_fastq(src: str, dst: str, process_id: int, num_processes: int,
 
 def run_host(process_id: int, num_processes: int, coordinator: str,
              fasta: str, reads: str, out_vcf: str, cmd_line: str,
-             reads2: str | None = None) -> None:
+             reads2: str | None = None, devices: int = 1) -> None:
     """One host process running the PRODUCTION pipeline on its read
     shard — native C++ parsing/pairing/slow path + device seed/chain
     kernels + HBM evidence planes (pipeline/stream.py, the same path the
     single-host CLI runs) — then ONE global psum of the RAW diff planes
     (saturation applied once after the reduction, cap-after-sum) and,
     on host 0, a single finalize + caller pass. Reference merge analog:
-    ReadMapping.cpp:627-643 under the real engine."""
+    ReadMapping.cpp:627-643 under the real engine.
+
+    devices > 1 composes the per-host data-parallel axis (-devices N,
+    parallel/devices.py — N local chips round-robin over this host's
+    stream batches, ordered host leg, per-chip planes merged locally
+    before the raw download) with the cross-host psum: N chips/host x
+    M processes, the reference's threads-compose-trivially analog
+    (ReadMapping.cpp:735-736)."""
     import tempfile
     import time as _time
 
@@ -180,9 +187,15 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     from ..pipeline.stream import run_stream_mapping
 
     cfg = Config(vcf_file=out_vcf, log_file=out_vcf + ".log",
-                 batch_size=256, stream_batch_size=512, max_read_len=128)
+                 batch_size=256, stream_batch_size=512, max_read_len=128,
+                 devices=devices)
     idx = build_index(fasta)
-    engine = MappingEngine(idx, cfg, backend=DeviceBackend(idx, cfg))
+    if devices > 1:
+        from .devices import MultiDeviceBackend
+        backend = MultiDeviceBackend(idx, cfg, devices)
+    else:
+        backend = DeviceBackend(idx, cfg)
+    engine = MappingEngine(idx, cfg, backend=backend)
     assert engine.native is not None, "production path requires the C++ runtime"
 
     # per-host input shard, mates co-located
@@ -222,11 +235,18 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
         [w for v in stat_vals for w in (v >> 30, v & ((1 << 30) - 1))],
         dtype=np.int32)   # int32-safe up to 2^60 per stat per host
 
-    devs = jax.devices()   # global device list across processes
+    # one representative device per process: with devices > 1 the other
+    # local chips already reduced into this host's planes (MultiDevice-
+    # Evidence), so the cross-host collectives ride a [num_processes]
+    # mesh regardless of chips-per-host
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, d)
+    devs = [by_proc[k] for k in sorted(by_proc)]
+    rep = by_proc[process_id]
     mesh = Mesh(np.asarray(devs), ("hosts",))
     n = len(devs)
-    local_dev = jax.device_put(jnp.asarray(local[None, :]),
-                               jax.local_devices()[0])
+    local_dev = jax.device_put(jnp.asarray(local[None, :]), rep)
     garr = jax.make_array_from_single_device_arrays(
         (n, local.size), NamedSharding(mesh, P("hosts", None)), [local_dev])
 
@@ -244,8 +264,7 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     # sizes are data-dependent, so processes first agree on the max via a
     # tiny psum-max, then pad to that and gather [used_words, stream...]
     aux_words = _serialize_aux(p, engine.inv_sites, engine.tnl_sites)
-    len_dev = jax.device_put(jnp.asarray([[np.int32(aux_words.size)]]),
-                             jax.local_devices()[0])
+    len_dev = jax.device_put(jnp.asarray([[np.int32(aux_words.size)]]), rep)
     len_g = jax.make_array_from_single_device_arrays(
         (n, 1), NamedSharding(mesh, P("hosts", None)), [len_dev])
 
@@ -262,8 +281,7 @@ def run_host(process_id: int, num_processes: int, coordinator: str,
     aux_local[0] = aux_words.size
     aux_local[1:1 + ns] = stat_words
     aux_local[1 + ns:1 + ns + aux_words.size] = aux_words
-    aux_dev = jax.device_put(jnp.asarray(aux_local[None, :]),
-                             jax.local_devices()[0])
+    aux_dev = jax.device_put(jnp.asarray(aux_local[None, :]), rep)
     aux_g = jax.make_array_from_single_device_arrays(
         (n, aux_local.size), NamedSharding(mesh, P("hosts", None)), [aux_dev])
 
@@ -351,9 +369,12 @@ def main() -> None:
     ap.add_argument("--reads", required=True)
     ap.add_argument("--reads2", default=None)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--devices", type=int, default=1,
+                    help="local data-parallel chips per host (-devices N)")
     args = ap.parse_args()
     run_host(args.pid, args.num, args.coordinator, args.fasta, args.reads,
-             args.out, "multihost-test", reads2=args.reads2)
+             args.out, "multihost-test", reads2=args.reads2,
+             devices=args.devices)
 
 
 if __name__ == "__main__":
