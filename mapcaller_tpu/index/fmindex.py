@@ -150,7 +150,9 @@ class FMIndex:
                     off += pad
                 table[name] = {"dtype": a.dtype.str, "shape": list(a.shape),
                                "offset": off}
-                f.write(a.tobytes())
+                # tofile streams the buffer — tobytes() would clone it
+                # (a 17.6 GB spike for the human-scale sa_full)
+                a.tofile(f)
                 off += a.nbytes
         os.replace(prefix + ".mci.bin.tmp", prefix + ".mci.bin")
         meta = {

@@ -2350,6 +2350,140 @@ static void sais_core(const TC* T, I* SA, I n, I K, I* unused) {
   }
 }
 
+// ---- memory-lean SA-IS -------------------------------------------------
+// Same induced-sort algorithm as sais_core (Nong, Zhang & Chan 2009) but
+// with the workspace formulation used by lean implementations: the
+// reduced problem, its suffix array, and the regenerated LMS positions
+// all live INSIDE the caller's SA buffer, and the bucket array reuses
+// the free SA tail (heap fallback only when it doesn't fit). Per level
+// the only allocation is the n-byte type map, so peak build memory is
+//   8(n+1) [SA] + n [text] + ~1.5n [nested type maps]  ~= 11.5 B/char
+// instead of sais_core's ~27 B/char (whose level-1 vectors t1/lms_pos/
+// sa1 dominated the 98 GB RSS at 2.2e9 rows, BIG_GENOME.json). This is
+// the TPU-era answer to the reference's blockwise BWT-SW builder
+// (ref: src/BWT_Index/bwt_gen.c:1436,1601 — 10 MB increments, no full
+// SA in RAM): we do keep the full SA (the device seeding path wants it
+// resident), but construction overhead beyond the artifact itself is
+// now ~3.5 B/char. sais_core above is retained as the test oracle.
+template <typename TC, typename I>
+static void sais_lean(const TC* T, I* SA, I n, I K,
+                      I* tail, i64 tail_slots) {
+  if (n == 1) { SA[0] = 0; return; }
+  vector<I> heapB;
+  I* B;
+  if (tail != nullptr && tail_slots >= (i64)K) B = tail;
+  else { heapB.resize(K); B = heapB.data(); }
+  vector<unsigned char> stype(n);
+  stype[n - 1] = 1;
+  for (I i = n - 2; i >= 0; i--)
+    stype[i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1])) ? 1 : 0;
+  auto is_lms = [&](I i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  // bucket boundaries recomputed from T on every use (two O(n) scans per
+  // induce pass) so ONE K-entry array suffices instead of cnt+bkt
+  auto buckets = [&](bool end) {
+    for (I c = 0; c < K; c++) B[c] = 0;
+    for (I i = 0; i < n; i++) B[T[i]]++;
+    I acc = 0;
+    if (end) { for (I c = 0; c < K; c++) { acc += B[c]; B[c] = acc; } }
+    else { for (I c = 0; c < K; c++) { I t = B[c]; B[c] = acc; acc += t; } }
+  };
+  auto induce = [&]() {
+    buckets(false);
+    for (I i = 0; i < n; i++) {
+      I j = SA[i];
+      if (j > 0 && !stype[j - 1]) SA[B[T[j - 1]]++] = j - 1;
+    }
+    buckets(true);
+    for (I i = n - 1; i >= 0; i--) {
+      I j = SA[i];
+      if (j > 0 && stype[j - 1]) SA[--B[T[j - 1]]] = j - 1;
+    }
+  };
+
+  // 1) place LMS suffixes at bucket ends (text order), induce: after
+  // this the LMS suffixes appear in LMS-substring-sorted order
+  std::fill(SA, SA + n, (I)-1);
+  buckets(true);
+  for (I i = n - 1; i >= 1; i--)
+    if (is_lms(i)) SA[--B[T[i]]] = i;
+  induce();
+
+  // 2) compact the sorted LMS positions into SA[0..n1) (dest index never
+  // passes the scan index, so the sweep is in-place safe)
+  I n1 = 0;
+  for (I i = 0; i < n; i++)
+    if (SA[i] > 0 && is_lms(SA[i])) SA[n1++] = SA[i];
+
+  // name sorted LMS substrings; names land at SA[n1 + pos/2] (disjoint
+  // from SA[0..n1) since pos/2 >= 0 and LMS positions are >= 2 apart)
+  I* s1 = SA + n1;
+  std::fill(s1, SA + n, (I)-1);
+  I name = 0, prev = -1;
+  for (I i = 0; i < n1; i++) {
+    I pos = SA[i];
+    bool diff = false;
+    if (prev < 0) diff = true;
+    else {
+      for (I d = 0; ; d++) {
+        if (T[pos + d] != T[prev + d] || stype[pos + d] != stype[prev + d]) {
+          diff = true; break;
+        }
+        if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
+          diff = !(is_lms(pos + d) && is_lms(prev + d));
+          break;
+        }
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    s1[pos >> 1] = name - 1;
+  }
+  // compact names (increasing text order) into RA = SA[n1..2*n1)
+  {
+    I w = 0;
+    for (I i = n1; i < n && w < n1; i++)
+      if (SA[i] >= 0) SA[n1 + w++] = SA[i];
+  }
+  I* RA = SA + n1;
+
+  // 3) order the LMS suffixes: recurse on the reduced string when names
+  // collide. SA[0..n1) is the recursion's buffer; SA[2*n1..n) its free
+  // tail. When the reduced problem fits int32, reinterpret the SA
+  // prefix as i32 lanes (halves level-1 time and bandwidth).
+  if (name < n1) {
+    if (sizeof(I) == 8 && n1 < (I)INT32_MAX && name < (I)INT32_MAX) {
+      i32* V = reinterpret_cast<i32*>(SA);
+      for (I i = 0; i < n1; i++) V[n1 + i] = (i32)SA[n1 + i];
+      sais_lean<i32, i32>(V + n1, V, (i32)n1, (i32)name,
+                          V + 2 * n1, (i64)2 * (n - n1));
+      for (I i = n1 - 1; i >= 0; i--) SA[i] = (I)V[i];
+      // RA (the i64 view) was clobbered by the i32 copy; step 4
+      // regenerates it below, so nothing to restore
+    } else {
+      sais_lean<I, I>(RA, SA, n1, name, SA + 2 * n1, (i64)(n - 2 * n1));
+    }
+  } else {
+    for (I i = 0; i < n1; i++) SA[RA[i]] = i;
+  }
+
+  // 4) regenerate LMS positions in text order into RA, translate ranks
+  // to positions, place at bucket ends (descending rank: each write
+  // lands at a slot >= the read index), induce the final order
+  {
+    I w = 0;
+    for (I i = 1; i < n; i++)
+      if (is_lms(i)) RA[w++] = i;
+  }
+  for (I i = 0; i < n1; i++) SA[i] = RA[SA[i]];
+  std::fill(SA + n1, SA + n, (I)-1);
+  buckets(true);
+  for (I i = n1 - 1; i >= 0; i--) {
+    I j = SA[i];
+    SA[i] = (I)-1;
+    SA[--B[T[j]]] = j;
+  }
+  induce();
+}
+
 extern "C" {
 // text: 2-bit codes (0..3), length n. Fills sa[n] with the suffix order
 // of the text WITHOUT a sentinel row (matching index/suffix.py).
@@ -2359,10 +2493,20 @@ void mc_build_suffix_array(const unsigned char* text, i64 n, i32* sa) {
   for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;  // unique smallest sentinel
   vector<i32> SA(n + 1);
-  sais_core<unsigned char, i32>(T.data(), SA.data(), (i32)(n + 1), 5,
-                                nullptr);
+  sais_lean<unsigned char, i32>(T.data(), SA.data(), (i32)(n + 1), 5,
+                                nullptr, 0);
   // SA[0] is the sentinel suffix; the rest is the sentinel-free order
   memcpy(sa, SA.data() + 1, n * sizeof(i32));
+}
+
+// sais_core kept callable as the cross-check oracle for the lean builder
+// (the SA of a string is unique, so equality is a complete test)
+void mc_build_sa_full_oracle(const unsigned char* text, i64 n,
+                             i32* sa_full) {
+  vector<unsigned char> T(n + 1);
+  for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
+  T[n] = 0;
+  sais_core<unsigned char, i32>(T.data(), sa_full, (i32)(n + 1), 5, nullptr);
 }
 
 // int64 variant for texts >= 2^31 (human-scale fwd+rc). Same linear
@@ -2374,7 +2518,8 @@ void mc_build_suffix_array64(const unsigned char* text, i64 n, i64* sa) {
   for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;
   vector<i64> SA(n + 1);
-  sais_core<unsigned char, i64>(T.data(), SA.data(), n + 1, (i64)5, nullptr);
+  sais_lean<unsigned char, i64>(T.data(), SA.data(), n + 1, (i64)5,
+                                nullptr, 0);
   memcpy(sa, SA.data() + 1, n * sizeof(i64));
 }
 
@@ -2386,14 +2531,16 @@ void mc_build_sa_full(const unsigned char* text, i64 n, i32* sa_full) {
   vector<unsigned char> T(n + 1);
   for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;
-  sais_core<unsigned char, i32>(T.data(), sa_full, (i32)(n + 1), 5, nullptr);
+  sais_lean<unsigned char, i32>(T.data(), sa_full, (i32)(n + 1), 5,
+                                nullptr, 0);
 }
 
 void mc_build_sa_full64(const unsigned char* text, i64 n, i64* sa_full) {
   vector<unsigned char> T(n + 1);
   for (i64 i = 0; i < n; i++) T[i] = text[i] + 1;
   T[n] = 0;
-  sais_core<unsigned char, i64>(T.data(), sa_full, n + 1, (i64)5, nullptr);
+  sais_lean<unsigned char, i64>(T.data(), sa_full, n + 1, (i64)5,
+                                nullptr, 0);
 }
 
 // Streaming BWT + Occ-checkpoint derivation from the full SA — replaces
