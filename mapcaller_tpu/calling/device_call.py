@@ -29,20 +29,24 @@ def device_identify(engine, cfg: Config, genome: Genome
     device result capacity overflowed (caller falls back to the full
     plane download)."""
     dev = engine.device_evidence
-    bd, cand_idx, run_start, run_val, scalars = dev.scan()
-    n_cand, n_runs = int(scalars[0]), int(scalars[1])
-    if n_cand > CAND_CAP or n_runs > RUN_CAP:
-        return None
+    # host-side prep first: the scan's speculative D2H (started in
+    # engine.finalize) is still in flight, so the event-map sorts and
+    # breakpoint clustering here hide the link round trip instead of
+    # queueing behind it
     L = genome.genome_size
     host_prof = engine.profile
-    cand = cand_idx[:n_cand].astype(np.int64)
-    run_start = run_start[:n_runs].astype(np.int64)
-    run_val = run_val[:n_runs]
-
     ins_keys = sorted(host_prof.insert_map.keys())
     del_keys = sorted(host_prof.delete_map.keys())
     bp_cans = identify_break_point_candidates(
         host_prof, genome.two_genome_size, engine.stats.avg_read_length)
+
+    bd, cand_idx, run_start, run_val, scalars = dev.scan()
+    n_cand, n_runs = int(scalars[0]), int(scalars[1])
+    if n_cand > CAND_CAP or n_runs > RUN_CAP:
+        return None
+    cand = cand_idx[:n_cand].astype(np.int64)
+    run_start = run_start[:n_runs].astype(np.int64)
+    run_val = run_val[:n_runs]
 
     positions = set(cand.tolist())
     positions.update(k for k in ins_keys if 0 <= k < L)

@@ -332,6 +332,12 @@ class MappingEngine:
         if (self.profile is not None and self.profile.F1_diff is not None
                 and self.device_evidence is None):
             self.profile.finalize_diffs(self.idx.ref.ref_sequence_codes())
+        if (cfg.vcf_output and self.device_evidence is not None
+                and hasattr(self.device_evidence, "start_scan")):
+            # dispatch the caller scan + its speculative D2H now so the
+            # link round trip overlaps the host-side stats/sort work
+            # below and the event-map prep in device_identify
+            self.device_evidence.start_scan()
         self.tnl_sites.sort(key=lambda p: p[0])
         self.inv_sites.sort(key=lambda p: p[0])
         st = self.stats
