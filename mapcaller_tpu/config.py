@@ -95,7 +95,13 @@ class Config:
                                                 # reads/s on the ~48 ms/
                                                 # transfer tunnel; ~free
                                                 # on PCIe — stream.py)
-    device_extension: bool = False              # Pallas NW/ksw2 for DP pairs
+    # Pallas NW/ksw2 for the gapped-extension DP pairs. False = scalar
+    # host aligners; True = always device; "auto" = per-batch policy
+    # from the measured link round trip + pair count (device dispatch
+    # costs ~2.7 ms + 2 RTTs/call vs a ~0.24 us/pair kernel margin —
+    # EXTENSION_BENCH.json — so the device only wins on PCIe-class
+    # links with big DP batches; the policy picks the winner per call)
+    device_extension: object = "auto"
     prefix_skip_k: int = -1                     # fused seed-start skip depth
                                                 # (-1 = auto by HBM slack,
                                                 # 0 = off; embedded occ3 rows

@@ -282,7 +282,8 @@ class NativeEngine:
     def process_batch_cls_devdp(self, slot: int, pair_end: bool,
                                 fastq: bool, cls, pd, mm, rplast, cscore,
                                 seed_counts, seed_rpos, seed_gpos, seed_len,
-                                stats_io, use_nw: bool, dp_max: int = 160):
+                                stats_io, use_nw: bool, dp_max: int = 160,
+                                dp_min_pairs: float = 0):
         """Two-phase classified batch with the gapped-extension DP batch
         running on device (Pallas NW/ksw2 kernels, bit-identical to the
         scalar aligners; oversize pairs fall back to scalar)."""
@@ -297,6 +298,12 @@ class NativeEngine:
             _ptr(np.ascontiguousarray(seed_rpos, dtype=np.int32)),
             _ptr(np.ascontiguousarray(seed_gpos, dtype=np.int64)),
             _ptr(np.ascontiguousarray(seed_len, dtype=np.int32)))
+        if n_dp > 0 and n_dp < dp_min_pairs:
+            # auto-policy: too few pairs for the device call to beat the
+            # scalar aligner (dispatch + 2 link RTTs exceed the kernel
+            # margin) — leave dp_cache empty, mc_finish_batch_cls
+            # computes these pairs with the scalar aligner
+            n_dp = 0
         if n_dp > 0:
             qlens = np.zeros(n_dp, dtype=np.int32)
             tlens = np.zeros(n_dp, dtype=np.int32)

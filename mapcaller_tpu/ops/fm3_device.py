@@ -188,8 +188,10 @@ class DeviceFM3:
                       tail2a=tab.tail2a, tail2b=tab.tail2b)
         pfx_base = 0
         nrows = int(kw["occ3_rows"].shape[0])
-        # fused skip rows must keep (row << 4) inside int32
-        if pfx_k > 0 and ((nrows + (1 << (2 * pfx_k)) + 2) << 4) < (1 << 31):
+        # fused skip rows must keep (row << 4) + entry inside int32
+        # (16 prefix entries pack into each appended 72-int32 row)
+        if pfx_k > 1 and ((nrows + (1 << (2 * pfx_k)) // 16 + 2) << 4
+                          ) < (1 << 31):
             tab_p = build_prefix_table(fm, pfx_k)          # [4^K, 4]
             kw["occ3_rows"] = _embed_pfx(kw["occ3_rows"], tab_p)
             pfx_base = nrows
@@ -200,11 +202,19 @@ class DeviceFM3:
 
 @jax.jit
 def _embed_pfx(rows: jnp.ndarray, pfx_tab: jnp.ndarray) -> jnp.ndarray:
-    """Append the prefix-skip states as 72-int32 rows (x0,x1,x2 in the
-    first three count slots; the rest zero) so they share the occ3
-    gather path."""
-    ext = jnp.zeros((pfx_tab.shape[0], rows.shape[1]), jnp.int32)
-    ext = ext.at[:, :4].set(pfx_tab)
+    """Append the prefix-skip states PACKED 16 entries per 72-int32 row
+    (entry e of row r = counts slots [4e, 4e+4) = (x0, x1, x2, 0)) so
+    they share the occ3 gather path at 18 B/entry instead of one
+    288-byte row per entry: K = 13 costs 1.2 GB of HBM instead of
+    19.3 GB, which is what makes skips deeper than 11 fit at all. The
+    gather index for prefix key p is (pfx_base << 4) + p — the row part
+    p >> 4 and the within-row entry p & 15 fall out of the same
+    (row << 4) | m encoding the occ3 path already uses."""
+    n_ent = pfx_tab.shape[0]          # 4^K, K >= 2 so a multiple of 16
+    packed = pfx_tab.reshape(n_ent // 16, 64)
+    ext = jnp.concatenate(
+        [packed,
+         jnp.zeros((n_ent // 16, rows.shape[1] - 64), jnp.int32)], axis=1)
     return jnp.concatenate([rows, ext], axis=0)
 
 

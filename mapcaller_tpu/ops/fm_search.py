@@ -24,6 +24,20 @@ import numpy as np
 from .fm_device import DeviceFMIndex, occ4, sa_resolve
 
 OCC_THR = 50
+
+def _pfx_entry(cnt64, key):
+    """Extract the packed prefix entry (x0, x1, x2) for prefix key
+    `key` from a gathered 72-int32 row whose 64 count slots hold 16
+    packed 4-int32 entries (ops/fm3_device._embed_pfx): entry index =
+    key & 15, component j at slot (key & 15) * 4 + j."""
+    import numpy as _np
+    d64 = jnp.asarray(_np.arange(64, dtype=_np.int32))[None, :]
+    base = ((key & 15) << 2)[:, None]
+    x0 = jnp.where(d64 == base, cnt64, 0).sum(axis=-1)
+    x1 = jnp.where(d64 == base + 1, cnt64, 0).sum(axis=-1)
+    x2 = jnp.where(d64 == base + 2, cnt64, 0).sum(axis=-1)
+    return x0, x1, x2
+
 MIN_SEED_LEN = 16
 
 
@@ -106,14 +120,16 @@ def _seed_scan3(fm3, codes_fn, rlens, B, max_len, max_seeds, key_fn=None,
             # start lanes hijack their dummy gather: fetch the embedded
             # prefix row for the K-mer at pos (see module docstring)
             key = key_fn(bidx, jnp.minimum(pos, max_len - 1))
-            k = jnp.where(start_new, PFXI + (key << 4), k)
+            # packed rows: key >> 4 selects the row, key & 15 the entry
+            k = jnp.where(start_new, PFXI + key, k)
         gk = gather_fn(fm3, k)
         gl = gather_fn(fm3, l)
         if FUSE:
-            jump = start_new & (gk[0][:, 2] > 0)
-            x0_init = jnp.where(jump, gk[0][:, 0], x0_init)
-            x1_init = jnp.where(jump, gk[0][:, 1], x1_init)
-            x2_init = jnp.where(jump, gk[0][:, 2], x2_init)
+            p_x0, p_x1, p_x2 = _pfx_entry(gk[0], key)
+            jump = start_new & (p_x2 > 0)
+            x0_init = jnp.where(jump, p_x0, x0_init)
+            x1_init = jnp.where(jump, p_x1, x1_init)
+            x2_init = jnp.where(jump, p_x2, x2_init)
             ext_init = jnp.where(jump, pos + K, ext_init)
         n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2, gk, gl)
         n1_x0, n1_x1, n1_x2 = step1_update(fm3, x0, k, x2, e0, gk, gl)
@@ -291,14 +307,16 @@ def _seed_scan3_compact(fm3, words_all, rlens_all, B_total, lanes, max_len,
             for j in range(K):
                 key = key | (((comb >> jnp.uint32(2 * j)) & 3
                               ).astype(jnp.int32) << (2 * (K - 1 - j)))
-            k = jnp.where(start_new, PFXI + (key << 4), k)
+            # packed rows: key >> 4 selects the row, key & 15 the entry
+            k = jnp.where(start_new, PFXI + key, k)
         gk = gather_fn(fm3, k)
         gl = gather_fn(fm3, l)
         if FUSE:
-            jump = start_new & (gk[0][:, 2] > 0)
-            x0_init = jnp.where(jump, gk[0][:, 0], x0_init)
-            x1_init = jnp.where(jump, gk[0][:, 1], x1_init)
-            x2_init = jnp.where(jump, gk[0][:, 2], x2_init)
+            p_x0, p_x1, p_x2 = _pfx_entry(gk[0], key)
+            jump = start_new & (p_x2 > 0)
+            x0_init = jnp.where(jump, p_x0, x0_init)
+            x1_init = jnp.where(jump, p_x1, x1_init)
+            x2_init = jnp.where(jump, p_x2, x2_init)
             ext_init = jnp.where(jump, pos + K, ext_init)
         n3_x0, n3_x1, n3_x2 = step3_update(fm3, x0, k, x2, e0, e1, e2,
                                            gk, gl)

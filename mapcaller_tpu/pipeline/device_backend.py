@@ -39,6 +39,7 @@ class DeviceBackend:
         self.n_tier_reruns = 0
         self.n_full_fallbacks = 0
         self.n_oracle_reads = 0
+        self._dp_min_pairs = None
         # 3-step occ table: 18 B/text-row of HBM that must coexist with
         # the 1-step rows (2 B/row, always resident), the full SA
         # (<=2 GB, fm_device budget), the evidence planes (~48 B/
@@ -165,16 +166,66 @@ class DeviceBackend:
                         + (88 * L if self.device_evidence_ok else 0)
                         + self._WORKSPACE)
                 slack = self._hbm_bytes() - used - 500_000_000
-                # charge 4x the table: the embed concat transiently
-                # holds old+new rows, and compile-time double residency
-                # (measured: K=11 at 60 Mb OOM'd 19.7/15.75 GB while the
-                # steady model predicted ~11 GB)
-                k = next((kk for kk in (11, 10, 8)
-                          if 4 * 288 * (4 ** kk) <= slack), 0)
+                # prefix entries pack 16 per 72-int32 row (18 B/entry,
+                # ops/fm3_device._embed_pfx); charge 4x the packed table
+                # for the embed-concat transient + compile-time double
+                # residency (measured: the unpacked K=11 table at 60 Mb
+                # OOM'd 19.7/15.75 GB while a steady model said ~11 GB).
+                # A deeper skip only pays when the genome actually
+                # CONTAINS the K-mer (an absent entry falls back to the
+                # 1-step init), so pick the K maximizing the expected
+                # skip K * (1 - e^-lambda), lambda = n / 4^K, among the
+                # depths whose table fits — not simply the deepest.
+                import math
+                best = (0.0, 0)
+                for kk in range(8, 15):
+                    if 4 * 18 * (4 ** kk) > slack:
+                        break
+                    gain = kk * (1.0 - math.exp(-n / (4.0 ** kk)))
+                    if gain > best[0]:
+                        best = (gain, kk)
+                k = best[1]
             tw = self.chain_ctx.text_words if self.chain_enabled else None
             self._fm3 = DeviceFM3.from_host(self.idx, self.fm, pfx_k=k,
                                             text_words=tw)
         return self._fm3
+
+    # measured on this chip class (EXTENSION_BENCH.json): scalar C++
+    # aligner vs the Pallas kernel's marginal rate at the 48 tier, and
+    # the kernel's fixed dispatch cost
+    _DP_SCALAR_PAIRS_S = 413_000.0
+    _DP_DEVICE_PAIRS_S = 459_000.0
+    _DP_FIXED_DISPATCH_S = 0.0027
+
+    def dp_device_min_pairs(self) -> float:
+        """Auto-policy threshold for cfg.device_extension == "auto":
+        the device DP call beats the scalar aligner only when its
+        per-pair margin amortizes the fixed dispatch plus two link
+        round trips, i.e. n_pairs >= (fixed + 2*RTT) / (1/scalar -
+        1/device). On this tunneled host (RTT ~46 ms) that is ~400k
+        pairs — never reached, so the policy provably picks the scalar
+        path (the measured winner, BENCH_MATRIX.json); on a PCIe host
+        (RTT ~0.1 ms) it is ~12k pairs, which the 131k-read compacted
+        stream batches clear on divergent data. Returns inf on
+        non-TPU backends (the kernels would run interpreted)."""
+        if self._dp_min_pairs is not None:
+            return self._dp_min_pairs
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        if jax.default_backend() != "tpu":
+            self._dp_min_pairs = float("inf")
+            return self._dp_min_pairs
+        rtt = float("inf")
+        z = jnp.zeros(8, jnp.int32)
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            np.asarray(jax.block_until_ready(z + 1))
+            rtt = min(rtt, _time.perf_counter() - t0)
+        margin = 1.0 / self._DP_SCALAR_PAIRS_S - 1.0 / self._DP_DEVICE_PAIRS_S
+        self._dp_min_pairs = (self._DP_FIXED_DISPATCH_S + 2.0 * rtt) / margin
+        return self._dp_min_pairs
 
     def _kernel_for(self, bucket: int):
         if bucket not in self._kernels:

@@ -222,10 +222,19 @@ def run_stream_mapping(engine, cfg: Config, t_start: float,
                     prof["collect"] += t1 - t0
                     if prof["batches"] == 0:
                         _mark("first-collect")
-                if getattr(cfg, "device_extension", False):
+                dx = getattr(cfg, "device_extension", False)
+                if dx == "auto":
+                    # per-call winner policy; inf threshold = scalar
+                    fn = getattr(be, "dp_device_min_pairs", None)
+                    dp_min = fn() if fn is not None else float("inf")
+                    dx = dp_min != float("inf")
+                else:
+                    dp_min = 0
+                if dx:
                     sam_text, st = native.process_batch_cls_devdp(
                         pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,
-                        counts, rp, gp, ln, stats_io, cfg.use_nw)
+                        counts, rp, gp, ln, stats_io, cfg.use_nw,
+                        dp_min_pairs=dp_min)
                 else:
                     sam_text, st = native.process_batch_cls(
                         pslot, pair_end, fastq, cls, pd, mm, rplast, cscore,

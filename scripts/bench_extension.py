@@ -231,7 +231,7 @@ def main():
     out["device_e2e_pairs_per_s"] = round(len(pairs) / e2e_s, 1)
     # production now tiers the kernel shape to the batch's max pair len
     maxlen = int(max(ms.max(), ns.max()))
-    tier = next((t for t in (48, 96) if t >= maxlen), MN)
+    tier = next((t for t in (32, 48, 96) if t >= maxlen), MN)
     if tier != MN:
         from mapcaller_tpu.ops.nw_device import nw_align_batch
 

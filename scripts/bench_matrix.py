@@ -61,14 +61,14 @@ def run_row(name):
         r, _ = run_map_call(idx, {"use_nw": False},
                             (f"{BENCH_DIR}/sub_r1.fq", None), 100_000)
     elif name == "divergent3pct_scalar_ext_reads_per_s":
-        r, _ = run_map_call(idx, {}, (div, None), 50_000)
+        r, _ = run_map_call(idx, {}, (div, None), 200_000)
     elif name == "divergent3pct_pallas_ext_reads_per_s":
         r, _ = run_map_call(idx, {"device_extension": True}, (div, None),
-                            50_000)
+                            200_000)
     elif name == "divergent3pct_pallas_ksw2_reads_per_s":
         r, _ = run_map_call(idx, {"use_nw": False,
                                   "device_extension": True}, (div, None),
-                            50_000)
+                            200_000)
     else:
         raise SystemExit(f"unknown row {name}")
     return round(r, 1)
@@ -105,14 +105,14 @@ def ref_rate(args, n_reads, passes=2):
 
 
 def ref_rows():
-    div = f"{BENCH_DIR}/div.fq"
+    div = f"{BENCH_DIR}/div200.fq"
     return {
         "ref_pe_nw_reads_per_s": ref_rate(
             ["-f", f"{BENCH_DIR}/sub_r1.fq", "-f2", f"{BENCH_DIR}/sub_r2.fq"],
             200_000),
         "ref_se_ksw2_reads_per_s": ref_rate(
             ["-f", f"{BENCH_DIR}/sub_r1.fq", "-alg", "ksw2"], 100_000),
-        "ref_divergent3pct_reads_per_s": ref_rate(["-f", div], 50_000),
+        "ref_divergent3pct_reads_per_s": ref_rate(["-f", div], 200_000),
     }
 
 
@@ -136,8 +136,8 @@ def main():
     idx = load_index(f"{BENCH_DIR}/mci")
 
     # divergent read set: 3% error + indels (DP extension fires)
-    div = f"{BENCH_DIR}/div.fq"
-    N_DIV = 50_000
+    div = f"{BENCH_DIR}/div200.fq"
+    N_DIV = 200_000
     if not os.path.exists(div):
         rng = np.random.default_rng(3)
         g = idx.ref.codes

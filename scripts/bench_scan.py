@@ -36,11 +36,17 @@ def main() -> None:
     MAXLEN = 128
     max_seeds = MAXLEN // (MIN_SEED_LEN + 1) + 2
 
-    # load 64k reads once
-    want = 65536
+    # load enough reads for the largest row. NOTE: this was 65536 for
+    # every row until round 5 — the hardcoded (131072, 32768) compact
+    # row then sliced words[:131072] from a 65536-row array, silently
+    # ran HALF the labeled reads, and recorded a 2x-inflated 835k
+    # reads/s "compacted scan" (the SCAN_BENCH.json figure VERDICT r4
+    # demand #1 was built on). True compacted-scan rate is ~480-500k
+    # reads/s (scripts/bench_kernel_legs.py agrees).
+    want = 131072
     if os.environ.get("MC_SCAN_SHAPES"):
-        want = max(int(t.split(":")[0])
-                   for t in os.environ["MC_SCAN_SHAPES"].split(","))
+        want = max(want, *(int(t.split(":")[0])
+                           for t in os.environ["MC_SCAN_SHAPES"].split(",")))
     reads = []
     for chunk in iter_chunks(f"{BD}/er1.fq", None):
         reads.extend(r.seq for r in chunk)

@@ -58,17 +58,58 @@ def main():
     if not os.path.exists(fq1):
         # paired reads confined to a 5 Mb window (~4x coverage there, a
         # realistic captured-region shape; the rest of the chromosome is
-        # one giant unmapped gap for the run-length scan)
+        # one giant unmapped gap for the run-length scan). Truth is
+        # PLANTED (het/hom SNVs + short indels) so the e2e validates
+        # calling output, not just mapping throughput (VERDICT r4 #8).
         rng = np.random.default_rng(9)
         W0, W1 = 10_000_000, 15_000_000
         codes = idx.ref.codes
-        comp = (3 - codes)
+        win = codes[W0:W1].copy()
+        n_snv, n_ind = 5_000, 1_000
+        pos = rng.choice(W1 - W0 - 200, size=n_snv + n_ind, replace=False)
+        pos.sort()
+        pos = pos[np.concatenate([[True], np.diff(pos) >= 60])]
+        kinds = rng.permutation(["snv"] * (pos.size - n_ind)
+                                + ["ind"] * n_ind)
+        edits, truth = [], []
+        for p, kind in zip(pos.tolist(), kinds.tolist()):
+            het = bool(rng.integers(0, 2))
+            if kind == "snv":
+                alt = (int(win[p]) + int(rng.integers(1, 4))) % 4
+                edits.append((p, "snv", het, alt))
+            elif rng.integers(0, 2):
+                ins = rng.integers(0, 4, size=int(rng.integers(1, 9)))
+                edits.append((p, "ins", het, ins.astype(np.uint8).tolist()))
+            else:
+                edits.append((p, "del", het, int(rng.integers(1, 9))))
+            truth.append({"pos": W0 + p, "kind": edits[-1][1], "het": het})
+
+        def apply(sel):
+            parts, cur = [], 0
+            for p, kind, het, pay in sel:
+                parts.append(win[cur:p + 1])
+                if kind == "snv":
+                    parts[-1] = parts[-1].copy()
+                    parts[-1][-1] = pay
+                    cur = p + 1
+                elif kind == "ins":
+                    parts.append(np.asarray(pay, np.uint8))
+                    cur = p + 1
+                else:
+                    cur = p + 1 + pay
+            parts.append(win[cur:])
+            return np.concatenate(parts)
+
+        hap0 = apply(edits)                              # all edits
+        hap1 = apply([e for e in edits if not e[2]])     # hom only
+        json.dump(truth, open(f"{DIR}/truth.json", "w"))
         with open(fq1, "w") as f1, open(fq2, "w") as f2:
             for k in range(N_READS // 2):
-                p = int(rng.integers(W0, W1 - 600))
+                hap = hap0 if (k & 1) else hap1
                 frag = int(rng.integers(350, 550))
-                r1c = codes[p:p + 100]
-                r2c = comp[p + frag - 100:p + frag][::-1]
+                p = int(rng.integers(0, hap.size - frag))
+                r1c = hap[p:p + 100]
+                r2c = (3 - hap[p + frag - 100:p + frag])[::-1]
                 f1.write(f"@c{k}/1\n{decode(r1c)}\n+\n{'I' * 100}\n")
                 f2.write(f"@c{k}/2\n{decode(r2c)}\n+\n{'I' * 100}\n")
 
@@ -100,6 +141,16 @@ def main():
     out["reads"] = engine.stats.total_reads
     out["mapped_pct"] = round(100.0 * engine.stats.total_mapped
                               / max(engine.stats.total_reads, 1), 2)
+    if not MAP_ONLY and os.path.exists(f"{DIR}/truth.json"):
+        truth = json.load(open(f"{DIR}/truth.json"))
+        called = set()
+        for line in open(f"{DIR}/out.vcf"):
+            if not line.startswith("#"):
+                called.add(int(line.split("\t")[1]))
+        out["n_truth"] = len(truth)
+        out["truth_called"] = sum(
+            1 for t in truth
+            if {t["pos"], t["pos"] + 1, t["pos"] + 2} & called)
     # steady-state second pass via in-place engine reset (reusing the
     # resident planes: a fresh engine would re-fault multi-GB host
     # allocations — 50-70 s of VM page-fault pathology that polluted
