@@ -176,9 +176,15 @@ def build_occ3_64(sa_full: np.ndarray, text: np.ndarray,
         lib.mc_build_occ3_64.argtypes = [C.c_void_p, C.c_void_p, C.c_int64,
                                          C.c_void_p, C.c_int64, C.c_int64,
                                          C.c_void_p, C.c_void_p, C.c_void_p]
+        lib.mc_build_occ3_64s.argtypes = [C.c_void_p, C.c_int32, C.c_void_p,
+                                          C.c_int64, C.c_void_p, C.c_int64,
+                                          C.c_int64, C.c_void_p, C.c_void_p,
+                                          C.c_void_p]
         lib._occ364_bound = True
     n = int(text.size)
-    assert sa_full.dtype == np.int64 and sa_full.size == n + 1
+    # int32 sa_full (texts < 2^31 rows) is read directly — upcasting a
+    # 1 Gbp-scale SA to int64 on the host costs a 16 GB copy
+    assert sa_full.dtype in (np.int64, np.int32) and sa_full.size == n + 1
     nw3 = (n + 16) // 16 + 2
     wps = words_per_shard if words_per_shard > 0 else nw3
     n_shards = -(-nw3 // wps)
@@ -189,9 +195,11 @@ def build_occ3_64(sa_full: np.ndarray, text: np.ndarray,
     c3_first = np.zeros(64, dtype=np.int64)
     aux = np.zeros(2, dtype=np.int64)
     txt = np.ascontiguousarray(text, dtype=np.uint8)
-    lib.mc_build_occ3_64(_ptr(sa_full), _ptr(txt), C.c_int64(n),
-                         _ptr(rows_out), C.c_int64(nw3), C.c_int64(wps),
-                         _ptr(base3), _ptr(c3_first), _ptr(aux))
+    lib.mc_build_occ3_64s(_ptr(sa_full),
+                          C.c_int32(1 if sa_full.dtype == np.int32 else 0),
+                          _ptr(txt), C.c_int64(n),
+                          _ptr(rows_out), C.c_int64(nw3), C.c_int64(wps),
+                          _ptr(base3), _ptr(c3_first), _ptr(aux))
     return Occ3Table64(rows=rows_out, base3=base3, c3_first=c3_first,
                        words_per_shard=wps,
                        row_p1=int(aux[0]), row_p2=int(aux[1]),

@@ -72,6 +72,7 @@ class BigDeviceEvidence(DeviceEvidence):
         self._kern = {}
         self._final = None
         self._scan = None
+        self._scan_pending = None
         with jax.enable_x64(True):
             self.planes = DevicePlanes(
                 acgt=self._put(jnp.zeros((4, self.Pg), jnp.int32),
@@ -444,6 +445,13 @@ class BigDeviceEvidence(DeviceEvidence):
                        P("dp"))))
         self._kern[key] = fn
         return fn
+
+    def start_scan(self):
+        """No-op: the sharded scan below manages its own two-transfer
+        collection over the mesh; the single-chip async pre-dispatch
+        (DeviceEvidence.start_scan) does not apply to shard_map'd
+        planes."""
+        return
 
     @_x64
     def scan(self):

@@ -7,6 +7,7 @@ fixed-capacity kernel flags as overflowed (seed- or hit-buffer).
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -407,16 +408,28 @@ class DeviceBackend:
             n = self.index_shards
             mesh = make_mesh(n)
             idx = self.idx
-            sa64 = idx.sa_full
-            if sa64.dtype != np.int64:
-                sa64 = sa64.astype(np.int64)
+            # Memory-lean staging (the first 1 Gbp HUMAN_SCALE attempt
+            # OOM'd at 130 GB holding host+device copies of every
+            # table at once): the full SA rides straight from its
+            # read-only index memmap (no astype copy — the int32 form
+            # feeds mc_build_occ3_64s directly and upconverts per
+            # 2 GB shard), the 36 GB occ3 rows build into a disk-backed
+            # temp memmap whose clean pages the kernel can evict, and
+            # each host-side source is dropped as soon as its device
+            # copy exists.
+            import tempfile
+            sa_src = idx.sa_full
             text = idx.ref.fwd_rc_codes()
             nrows = idx.seq_len
             nw3 = (nrows + 16) // 16 + 2
             rps = -(-nw3 // n)
-            rows = np.zeros((n * rps, 72), dtype=np.int32)
-            tab = build_occ3_64(sa64, text, words_per_shard=rps,
+            rows_f = tempfile.NamedTemporaryFile(
+                prefix="mc_occ3_", suffix=".bin", delete=False)
+            rows = np.memmap(rows_f.name, dtype=np.int32, mode="w+",
+                             shape=(n * rps, 72))
+            tab = build_occ3_64(sa_src, text, words_per_shard=rps,
                                 rows_out=rows[:nw3])
+            del text
             devs = list(mesh.devices.reshape(-1))
 
             def stage_sharded(arr2d, spec_shape):
@@ -429,11 +442,24 @@ class DeviceBackend:
             with jax.enable_x64(True):
                 occ_dev = stage_sharded(rows.reshape(n, rps, 72),
                                         P("dp", None, None))
+                del rows
+                try:
+                    os.unlink(rows_f.name)
+                except OSError:
+                    pass
                 sps = -(-(nrows + 1) // n)
-                sa_pad = np.zeros(n * sps, dtype=np.int64)
-                sa_pad[:nrows + 1] = sa64
-                sa_dev = stage_sharded(sa_pad.reshape(n, sps),
-                                       P("dp", None))
+
+                def sa_shard(s):
+                    lo = s * sps
+                    hi = min(lo + sps, nrows + 1)
+                    buf = np.zeros(sps, dtype=np.int64)
+                    buf[:hi - lo] = sa_src[lo:hi]
+                    return buf
+
+                sa_dev = jax.make_array_from_single_device_arrays(
+                    (n, sps), NamedSharding(mesh, P("dp", None)),
+                    [jax.device_put(sa_shard(s)[None], d)
+                     for s, d in enumerate(devs)])
                 base3 = np.zeros((n, 64), dtype=np.int64)
                 base3[:tab.base3.shape[0]] = tab.base3
 

@@ -27,9 +27,16 @@ def _zeros_prefaulted(shape, dtype=np.int32):
     class cost ~10us/page, which would otherwise land inside the random
     single-int writes of the mapping hot loop (mc_native update_profile /
     fast_profile). Paying them once at allocation keeps the per-read
-    evidence cost at cache-miss scale."""
+    evidence cost at cache-miss scale.
+
+    Above 2 GB/array the prefault is SKIPPED: genome-scale runs use the
+    device/sharded evidence planes, where the host planes stay almost
+    untouched (sparse slow-read writes only) — committing e.g. 40 GB of
+    zero pages for a 1 Gbp genome is what OOM-killed the first
+    HUMAN_SCALE attempt. Untouched np.zeros pages cost nothing."""
     a = np.zeros(shape, dtype=dtype)
-    a.reshape(-1)[::1024] = 0
+    if a.nbytes <= (2 << 30):
+        a.reshape(-1)[::1024] = 0
     return a
 
 

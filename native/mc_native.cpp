@@ -2643,6 +2643,68 @@ void mc_build_occ3(const i32* sa, const unsigned char* text, i64 n,
 // shard, absolute rows). base3: i64[n_shards*64]; c3_first: i64[64].
 void mc_build_occ3_64(const i64* sa, const unsigned char* text, i64 n,
                       i32* rows, i64 nw3, i64 words_per_shard,
+                      i64* base3, i64* c3_first, i64* aux);
+
+// int32-SA wrapper: texts < 2^31 rows store sa_full as int32 — reading
+// it directly avoids a 16 GB astype(int64) host copy at 1 Gbp scale
+// (the first HUMAN_SCALE attempt OOM'd on exactly such staging copies)
+void mc_build_occ3_64s(const void* sa, i32 sa_is32,
+                       const unsigned char* text, i64 n,
+                       i32* rows, i64 nw3, i64 words_per_shard,
+                       i64* base3, i64* c3_first, i64* aux) {
+  if (!sa_is32) {
+    mc_build_occ3_64((const i64*)sa, text, n, rows, nw3, words_per_shard,
+                     base3, c3_first, aux);
+    return;
+  }
+  const i32* sa32 = (const i32*)sa;
+  i64 wps = words_per_shard > 0 ? words_per_shard : nw3;
+  i64 cnt[64] = {0};
+  const i64* base = base3;
+  aux[0] = aux[1] = -1;
+  for (i64 w = 0; w < nw3; w++) {
+    if (w % wps == 0) {
+      i64* b = base3 + (w / wps) * 64;
+      memcpy(b, cnt, sizeof(cnt));
+      base = b;
+    }
+    i32* row = rows + w * 72;
+    for (int d = 0; d < 64; d++) row[d] = (i32)(cnt[d] - base[d]);
+    unsigned char* syms = (unsigned char*)(row + 64);
+    for (i64 q = 0; q < 16; q++) {
+      i64 j = w * 16 + q;
+      int sym = 255;
+      if (j <= n) {
+        i64 p = (i64)sa32[j];
+        if (p == 1) aux[0] = j;
+        if (p == 2) aux[1] = j;
+        if (p >= 3)
+          sym = text[p - 3] * 16 + text[p - 2] * 4 + text[p - 1];
+      }
+      syms[q] = (unsigned char)sym;
+      if (sym < 64) cnt[sym]++;
+    }
+  }
+  auto key = [&](i64 j) -> int {
+    i64 p = (i64)sa32[j];
+    int k0 = p < n ? text[p] + 1 : 0;
+    int k1 = p + 1 < n ? text[p + 1] + 1 : 0;
+    int k2 = p + 2 < n ? text[p + 2] + 1 : 0;
+    return k0 * 25 + k1 * 5 + k2;
+  };
+  for (int d = 0; d < 64; d++) {
+    int dk = ((d >> 4) + 1) * 25 + (((d >> 2) & 3) + 1) * 5 + ((d & 3) + 1);
+    i64 lo = 0, hi = n + 1;
+    while (lo < hi) {
+      i64 mid = (lo + hi) >> 1;
+      if (key(mid) < dk) lo = mid + 1; else hi = mid;
+    }
+    c3_first[d] = lo;
+  }
+}
+
+void mc_build_occ3_64(const i64* sa, const unsigned char* text, i64 n,
+                      i32* rows, i64 nw3, i64 words_per_shard,
                       i64* base3, i64* c3_first, i64* aux) {
   i64 wps = words_per_shard > 0 ? words_per_shard : nw3;
   i64 cnt[64] = {0};
