@@ -336,7 +336,13 @@ class BigDeviceEvidence(DeviceEvidence):
                        P("dp"), P(None)),
             # cov_tot is an all_gather output (identical on every
             # shard); the static VMA check can't see that
-            check_vma=False))
+            check_vma=False),
+            # the diff planes are dead once folded — donating them lets
+            # XLA reuse their ~40 GB for the finalize outputs instead
+            # of doubling residency (the 1 Gbp calling phase OOM'd at
+            # ~148 GB without this; any accidental later use of
+            # self.planes raises a donated-buffer error, loudly)
+            donate_argnums=(0, 1, 2, 3))
         self._kern[key] = fn
         return fn
 
