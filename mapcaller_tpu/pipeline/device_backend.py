@@ -228,6 +228,23 @@ class DeviceBackend:
         self._dp_min_pairs = (self._DP_FIXED_DISPATCH_S + 2.0 * rtt) / margin
         return self._dp_min_pairs
 
+    def release_index_tables(self) -> None:
+        """Drop the device-resident seeding tables (occ3 rows incl.
+        prefix entries, device SA, chain kernels). The calling phase
+        reads only the evidence planes; at human scale the seed tables
+        are ~52 GB that would otherwise coexist with the finalize
+        outputs (the 1 Gbp calling phase OOM'd on exactly that sum).
+        Call between the last mapped batch and finalize/calling; the
+        tables rebuild lazily if mapping runs again."""
+        import gc
+        self._kernels.clear()
+        self._fm3 = None
+        if hasattr(self, "_sharded"):
+            self._sharded = None
+        if hasattr(self, "_big"):
+            self._big = None
+        gc.collect()
+
     def _kernel_for(self, bucket: int):
         if bucket not in self._kernels:
             self._kernels[bucket] = build_seed_kernel(self.fm, bucket, self.batch)

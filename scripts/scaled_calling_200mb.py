@@ -200,6 +200,9 @@ def main():
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     assert engine.backend.sharded_invocations > 0, \
         "sharded kernels never executed (routing escape)"
+    # the calling phase needs only the evidence planes: free the ~52 GB
+    # of seeding tables before the finalize outputs materialize
+    engine.backend.release_index_tables()
     # per-device table/plane memory (the O(L/n) contract)
     be = engine.backend
     n = idx.seq_len
